@@ -1,0 +1,102 @@
+"""pycwt-compatible user API.
+
+Drop-in surface for the reference's ``pycwt`` module: same function names,
+signatures, defaults, and return conventions (``cwt``, ``icwt``,
+``significance``, ``xwt``, ``wct``, ``wct_significance``).  Inputs are
+numpy/array-likes, outputs numpy arrays; the heavy lifting runs through the
+jitted batched cores in :mod:`pycwt_tpu.transform` / :mod:`pycwt_tpu.coherence`.
+
+Users who want the TPU-first batched/sharded interfaces should use
+``pycwt_tpu.transform`` and ``pycwt_tpu.parallel`` directly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import DEFAULT
+from .mothers import as_mother
+from .stats import significance  # noqa: F401  (re-exported, implemented in stats)
+from .transform import build_scale_grid, coi_bartlett, cwt_batch
+
+__all__ = ["cwt", "icwt", "significance"]
+
+
+def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
+    """Continuous wavelet transform of a 1-D signal.
+
+    Same contract as the reference ``cwt`` (``/root/reference/pycwt/wavelet.py:13-124``):
+    returns ``(W, sj, freqs, coi, fft, fftfreqs)`` with ``W`` of shape
+    ``(n_scales, n0)``, pow-2 padded FFTs, Bartlett-triangle COI, and the
+    normalized one-sided signal spectrum.
+
+    The reference's data-dependent NaN-row drop (``wavelet.py:111-115`` —
+    triggered e.g. by Paul-wavelet overflow at large scales) is decided
+    host-side from the mother's overflow criterion so the device computation
+    keeps static shapes.
+    """
+    mother = as_mother(wavelet)
+    signal = np.asarray(signal)
+    n0 = len(signal)
+
+    grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother, freqs=freqs)
+    sj, out_freqs = grid.sj, grid.freqs
+
+    nfft = DEFAULT.fft_length(n0)
+    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
+
+    # Host-side replica of the reference's NaN-row drop (wavelet.py:111-115):
+    # a row is dropped iff the reference's naive f64 filter formula would have
+    # produced non-finite values in it.  (If *all* rows are bad the reference
+    # keeps everything — `np.any(sel)` is False — replicated here.)
+    bad = mother.reference_nan_rows(sj, ftfreqs_np)
+    if (~bad).any():
+        sj = sj[~bad]
+        out_freqs = out_freqs[~bad]
+
+    W, signal_ft = cwt_batch(signal[None, :], jnp.asarray(sj), dt, mother=mother, nfft=nfft)
+    W = np.asarray(W[0])
+    signal_ft = np.asarray(signal_ft[0])
+
+    coi = coi_bartlett(n0, dt, mother)
+    return (
+        W,
+        sj,
+        out_freqs,
+        coi,
+        signal_ft[1 : nfft // 2] / nfft ** 0.5,
+        ftfreqs_np[1 : nfft // 2] / (2 * np.pi),
+    )
+
+
+def icwt(W, sj, dt, dj=1 / 12, wavelet="morlet"):
+    """Inverse continuous wavelet transform, TC98 eq. 11.
+
+    Replicates the reference's orientation auto-detection and summation
+    semantics exactly (``wavelet.py:127-171``), including the ``Warning``
+    raised on a shape mismatch.
+    """
+    mother = as_mother(wavelet)
+    W = np.asarray(W)
+    sj = np.asarray(sj)
+
+    a, b = W.shape
+    c = sj.size
+    if a == c:
+        sj_mat = (np.ones([b, 1]) * sj).transpose()
+    elif b == c:
+        sj_mat = np.ones([a, 1]) * sj
+    else:
+        raise Warning("Input array dimensions do not match.")
+
+    psi0 = mother.psi0()
+    if isinstance(psi0, complex) and psi0.imag == 0:
+        psi0 = psi0.real
+    return (
+        dj
+        * np.sqrt(dt)
+        / (mother.cdelta * psi0)
+        * (np.real(W) / np.sqrt(sj_mat)).sum(axis=0)
+    )

@@ -1,0 +1,1 @@
+from .helpers import find, rect, boxpdf, get_cache_dir  # noqa: F401
