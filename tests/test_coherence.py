@@ -1,0 +1,97 @@
+"""Parity tests for the WCT smoothing operator, XWT, WCT, and helpers."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pycwt_tpu as wt
+from pycwt_tpu.ops.smoothing import smooth
+from tests.conftest import rel_err
+
+
+def test_smooth_real_golden(golden):
+    g = golden("smooth")
+    out = smooth(jnp.asarray(g["Wr"]), float(g["dt"]), float(g["dj"]),
+                 jnp.asarray(g["scales"]), wt.Morlet(6))
+    assert rel_err(np.asarray(out), g["sm_r"]) < 1e-10
+
+
+def test_smooth_complex_golden(golden):
+    g = golden("smooth")
+    out = smooth(jnp.asarray(g["Wc"]), float(g["dt"]), float(g["dj"]),
+                 jnp.asarray(g["scales"]), wt.Morlet(6))
+    assert rel_err(np.asarray(out), g["sm_c"]) < 1e-10
+
+
+def test_smooth_batched_consistency(golden):
+    g = golden("smooth")
+    batch = jnp.stack([jnp.asarray(g["Wr"]), 2 * jnp.asarray(g["Wr"])])
+    out = np.asarray(smooth(batch, float(g["dt"]), float(g["dj"]),
+                            jnp.asarray(g["scales"]), wt.Morlet(6)))
+    assert rel_err(out[0], g["sm_r"]) < 1e-10
+    assert rel_err(out[1], 2 * g["sm_r"]) < 1e-10
+
+
+def test_smooth_nontabulated_deltaj0_raises(golden):
+    g = golden("smooth")
+    with pytest.raises(ValueError):
+        smooth(jnp.asarray(g["Wr"]), 0.25, 1 / 8, jnp.asarray(g["scales"]),
+               wt.Morlet(5))
+
+
+@pytest.mark.parametrize("norm", [0, 1])
+def test_xwt_golden(golden, norm):
+    g = golden(f"xwt_jao_jbaltic_norm{norm}")
+    W12, coi, freq, signif = wt.xwt(g["y1"], g["y2"], float(g["dt"]),
+                                    significance_level=0.8646,
+                                    normalize=bool(norm))
+    assert rel_err(W12, g["W12"]) < 1e-10
+    assert rel_err(coi, g["coi"]) < 1e-12
+    assert rel_err(freq, g["freq"]) < 1e-12
+    assert rel_err(signif, g["signif"]) < 1e-10
+
+
+def test_wct_golden(golden):
+    g = golden("wct_jao_jbaltic")
+    WCT, aWCT, coi, freq, _ = wt.wct(g["y1"], g["y2"], float(g["dt"]),
+                                     sig=False)
+    assert rel_err(WCT, g["WCT"]) < 1e-10
+    # phases compared absolutely (angles near ±π wrap)
+    d = np.angle(np.exp(1j * (aWCT - g["aWCT"])))
+    assert np.abs(d).max() < 1e-10
+    assert rel_err(coi, g["coi"]) < 1e-12
+    assert rel_err(freq, g["freq"]) < 1e-12
+
+
+def test_wct_bounded():
+    """Coherence is in [0, 1] up to smoothing numerics."""
+    g1 = np.sin(np.arange(400) * 0.3) + np.random.default_rng(0).standard_normal(400)
+    g2 = np.sin(np.arange(400) * 0.3) + np.random.default_rng(1).standard_normal(400)
+    WCT, *_ = wt.wct(g1, g2, 1.0, sig=False)
+    assert WCT.min() > -1e-9
+    assert WCT.max() < 1.0 + 1e-6
+
+
+def test_wct_works_for_all_mothers():
+    """The reference crashes for Paul/DOG (smooth only on Morlet) — fixed."""
+    rng = np.random.default_rng(2)
+    y1 = rng.standard_normal(256)
+    y2 = rng.standard_normal(256)
+    for mother in [wt.Paul(4), wt.DOG(2), wt.DOG(6), wt.MexicanHat()]:
+        WCT, aWCT, coi, freq, _ = wt.wct(y1, y2, 1.0, sig=False,
+                                         wavelet=mother)
+        assert np.isfinite(WCT).all()
+
+
+def test_rect_and_boxpdf():
+    win = wt.rect(5)
+    assert np.allclose(win, [0.5, 1, 1, 1, 0.5])
+    win = wt.rect(5, normalize=True)
+    assert abs(win.sum() - 1) < 1e-15
+
+    rng = np.random.default_rng(0)
+    x = rng.exponential(size=300)
+    bx, X, Y = wt.boxpdf(x)
+    assert bx.min() >= 0 and bx.max() <= 1
+    # rank transform preserves ordering
+    assert np.all(np.argsort(bx) == np.argsort(x))

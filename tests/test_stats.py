@@ -1,0 +1,152 @@
+"""Parity and property tests for AR(1) statistics, red-noise surrogates,
+the native chi-square PPF, and the TC98 significance tests."""
+import numpy as np
+import pytest
+import scipy.stats
+
+import jax
+import jax.numpy as jnp
+
+import pycwt_tpu as wt
+from pycwt_tpu.ops.special import chi2_ppf, gammaincinv
+from tests.conftest import rel_err
+
+
+def test_ar1_golden(golden):
+    g = golden("ar1")
+    import pycwt_tpu.sample as sample
+
+    for i, name in enumerate(g["names"]):
+        data = sample.load(str(name))
+        gam, a, mu2 = wt.ar1(data.values)
+        assert rel_err([gam, a, mu2], g["gam"][i]) < 1e-10, name
+
+
+def test_ar1_spectrum_golden(golden):
+    g = golden("ar1")
+    assert rel_err(wt.ar1_spectrum(g["fgrid"], 0.5), g["spec_g05"]) < 1e-12
+    assert rel_err(wt.ar1_spectrum(g["fgrid"], 0.72), g["spec_g072"]) < 1e-12
+
+
+def test_ar1_short_series_raises():
+    """Reference raises Warning when the discriminant is non-positive
+    (helpers.py:95-96) — e.g. a strongly trending series."""
+    with pytest.raises(Warning):
+        wt.ar1(np.arange(100.0))
+
+
+def test_chi2_ppf_vs_scipy():
+    ps = np.array([0.05, 0.5, 0.8646, 0.90, 0.95, 0.99, 0.999])
+    dfs = np.array([0.5, 1.0, 2.0, 2.7, 10.0, 64.3, 500.0])
+    for df in dfs:
+        ours = np.asarray(chi2_ppf(jnp.asarray(ps, jnp.float64), float(df)))
+        ref = scipy.stats.chi2.ppf(ps, df)
+        assert rel_err(ours, ref) < 1e-11, df
+
+
+def test_gammaincinv_vs_scipy():
+    import scipy.special
+
+    ps = np.linspace(0.01, 0.99, 23)
+    for a in [0.5, 1.0, 3.3, 48.0]:
+        ours = np.asarray(gammaincinv(float(a), jnp.asarray(ps, jnp.float64)))
+        ref = scipy.special.gammaincinv(a, ps)
+        assert rel_err(ours, ref) < 1e-11, a
+
+
+def test_rednoise_statistics():
+    """Surrogates have the requested lag-1 autocorrelation and variance
+    (distributional test — reference helpers.py:146-173)."""
+    from pycwt_tpu.stats import rednoise_batch
+
+    g = 0.72
+    y = np.asarray(rednoise_batch(jax.random.PRNGKey(0), 4000, g, 1.0,
+                                  batch=64, dtype=jnp.float64))
+    yc = y - y.mean(axis=1, keepdims=True)
+    lag1 = (yc[:, :-1] * yc[:, 1:]).sum(1) / (yc ** 2).sum(1)
+    assert abs(lag1.mean() - g) < 0.02
+    # AR(1) stationary variance = a²/(1−g²)
+    assert abs(y.var() / (1 / (1 - g ** 2)) - 1) < 0.1
+
+
+def test_rednoise_g0_is_white():
+    """g=0 must work (the reference crashes on np.randn, helpers.py:166)."""
+    y = wt.rednoise(1000, 0.0, 2.0, seed=3)
+    assert y.shape == (1000,)
+    assert abs(y.std() - 2.0) < 0.2
+
+
+def test_rednoise_exact_recurrence():
+    """associative_scan path is bit-equivalent to the sequential IIR."""
+    from pycwt_tpu.stats import _ar1_recurrence
+    import scipy.signal
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((3, 500))
+    g = 0.8
+    ours = np.asarray(_ar1_recurrence(jnp.asarray(z), jnp.float64(g)))
+    ref = scipy.signal.lfilter([1, 0], [1, -g], z, axis=1)
+    assert rel_err(ours, ref) < 1e-12
+
+
+def test_significance_mode0_golden(golden):
+    g = golden("significance_nino3")
+    sig0, th0 = wt.significance(1.0, float(g["dt"]), g["sj"], 0,
+                                alpha=float(g["alpha"]))
+    assert rel_err(sig0, g["sig0"]) < 1e-10
+    assert rel_err(th0, g["th0"]) < 1e-10
+
+
+def test_significance_mode0_array_signal(golden):
+    g = golden("significance_nino3")
+    import pycwt_tpu.sample as sample
+
+    nino = sample.load("nino3").values
+    nino_std = (nino - nino.mean()) / nino.std()
+    sig0b, th0b = wt.significance(nino_std, float(g["dt"]), g["sj"], 0)
+    assert rel_err(sig0b, g["sig0b"]) < 1e-10
+    assert rel_err(th0b, g["th0b"]) < 1e-10
+
+
+def test_significance_mode1_golden(golden):
+    g = golden("significance_nino3")
+    sig1, _ = wt.significance(1.0, float(g["dt"]), g["sj"], 1,
+                              alpha=float(g["alpha"]), dof=g["dof1"])
+    assert rel_err(sig1, g["sig1"]) < 1e-10
+
+
+def test_significance_mode1_scalar_dof(golden):
+    """Scalar dof broadcast (the reference crashes here — documented fix)."""
+    g = golden("significance_nino3")
+    sig1, _ = wt.significance(1.0, float(g["dt"]), g["sj"], 1,
+                              alpha=float(g["alpha"]), dof=300.0)
+    assert sig1.shape == g["sj"].shape
+    assert np.all(np.isfinite(sig1))
+
+
+def test_significance_mode2_golden(golden):
+    g = golden("significance_nino3")
+    sig2, th2 = wt.significance(1.0, float(g["dt"]), g["sj"], 2,
+                                alpha=float(g["alpha"]), dof=[2, 8])
+    assert rel_err(np.atleast_1d(sig2), g["sig2"]) < 1e-10
+    assert rel_err(np.atleast_1d(th2), g["th2"]) < 1e-10
+
+
+def test_significance_dog_golden(golden):
+    g = golden("significance_dog2")
+    sig0, th0 = wt.significance(1.0, float(g["dt"]), g["sj"], 0,
+                                alpha=float(g["alpha"]), wavelet=wt.DOG(2))
+    assert rel_err(sig0, g["sig0"]) < 1e-10
+
+
+def test_significance_bad_mode_raises(golden):
+    g = golden("significance_nino3")
+    with pytest.raises(ValueError):
+        wt.significance(1.0, 0.25, g["sj"], 7, alpha=0.5)
+
+
+def test_significance_mode2_requires_tabulated_cdelta(golden):
+    g = golden("significance_nino3")
+    with pytest.raises(ValueError):
+        wt.significance(1.0, 0.25, g["sj"], 2, alpha=0.5, dof=[2, 8],
+                        wavelet=wt.Morlet(5))  # f0≠6 → cdelta sentinel −1
