@@ -1,0 +1,7 @@
+from .mesh import make_mesh, MeshSpec  # noqa: F401
+from .sharded import (  # noqa: F401
+    sharded_cwt,
+    sharded_power_pipeline,
+    sharded_wct,
+    sharded_mc_histogram,
+)

@@ -1,0 +1,114 @@
+"""Multi-device sharding tests on an 8-device virtual CPU mesh (SURVEY §4.4):
+the same computation on a 1-device and an 8-device mesh must agree to
+float64 round-off, and with the unsharded reference cores exactly.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pycwt_tpu as wt
+from pycwt_tpu.config import DEFAULT
+from pycwt_tpu.parallel import (
+    MeshSpec,
+    make_mesh,
+    sharded_cwt,
+    sharded_mc_histogram,
+    sharded_power_pipeline,
+    sharded_wct,
+)
+from pycwt_tpu.parallel.sharded import pad_scales
+from pycwt_tpu.transform import build_scale_grid, cwt_batch, icwt_batch
+from tests.conftest import rel_err
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+N0 = 256
+DT = 0.5
+MOTHER = wt.Morlet(6)
+
+
+@pytest.fixture(scope="module")
+def workload():
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((8, N0))
+    grid = build_scale_grid(N0, DT, dj=1 / 8)
+    nfft = DEFAULT.fft_length(N0)
+    return X, grid, nfft
+
+
+@pytest.mark.parametrize("spec", [MeshSpec(data=8), MeshSpec(data=4, scale=2),
+                                  MeshSpec(data=2, scale=2, mc=2)])
+def test_sharded_cwt_matches_single_device(workload, spec):
+    X, grid, nfft = workload
+    mesh = make_mesh(spec)
+    sj_pad, S = pad_scales(grid.sj, spec.scale)
+    W_ref, _ = cwt_batch(jnp.asarray(X), jnp.asarray(grid.sj), DT,
+                         mother=MOTHER, nfft=nfft)
+    W_sh, _ = sharded_cwt(mesh, jnp.asarray(X), jnp.asarray(sj_pad), DT,
+                          mother=MOTHER, nfft=nfft)
+    assert rel_err(np.asarray(W_sh)[:, :S, :], np.asarray(W_ref)) < 1e-12
+
+
+def test_sharded_power_pipeline(workload):
+    X, grid, nfft = workload
+    spec = MeshSpec(data=4, scale=2)
+    mesh = make_mesh(spec)
+    sj_pad, S = pad_scales(grid.sj, spec.scale)
+    power, gws, iw, savg = sharded_power_pipeline(
+        mesh, jnp.asarray(X), jnp.asarray(sj_pad), DT, grid.dj,
+        mother=MOTHER, nfft=nfft, n_true_scales=S,
+    )
+    # Reference: unsharded equivalents
+    Xn = (X - X.mean(1, keepdims=True)) / X.std(1, keepdims=True)
+    W_ref, _ = cwt_batch(jnp.asarray(Xn), jnp.asarray(grid.sj), DT,
+                         mother=MOTHER, nfft=nfft)
+    p_ref = np.abs(np.asarray(W_ref)) ** 2
+    assert rel_err(np.asarray(power)[:, :S, :], p_ref) < 1e-11
+    assert rel_err(np.asarray(gws)[:, :S], p_ref.mean(-1)) < 1e-11
+    iw_ref = np.asarray(icwt_batch(W_ref, jnp.asarray(grid.sj), DT, grid.dj,
+                                   mother=MOTHER))
+    assert rel_err(np.asarray(iw), iw_ref) < 1e-10
+    savg_ref = (grid.dj * DT / MOTHER.cdelta) * (
+        p_ref / grid.sj[None, :, None]).sum(1)
+    assert rel_err(np.asarray(savg), savg_ref) < 1e-10
+
+
+def test_sharded_wct_matches_host(workload):
+    X, grid, nfft = workload
+    mesh = make_mesh(MeshSpec(data=8))
+    rng = np.random.default_rng(1)
+    Y = rng.standard_normal((8, N0))
+    from pycwt_tpu.coherence import _wct_core
+
+    R_ref, _, _ = _wct_core(jnp.asarray(X), jnp.asarray(Y),
+                            jnp.asarray(grid.sj), DT, mother=MOTHER,
+                            nfft=nfft, dj=grid.dj)
+    R_sh, _, _ = sharded_wct(mesh, jnp.asarray(X), jnp.asarray(Y),
+                             grid.sj, DT, grid.dj, mother=MOTHER, nfft=nfft)
+    assert rel_err(np.asarray(R_sh), np.asarray(R_ref)) < 1e-11
+
+
+def test_sharded_mc_histogram_psum(workload):
+    """8-way mc-sharded histogram == sum of the 8 per-shard histograms,
+    and total counts == batch × (#outside-COI samples)."""
+    _, grid, nfft = workload
+    spec = MeshSpec(mc=8)
+    mesh = make_mesh(spec)
+    n = N0
+    coi = np.linspace(0, 20, n)
+    period = 1.0 / grid.freqs
+    outsidecoi = period[:, None] <= coi[None, :]
+    key = jax.random.PRNGKey(0)
+    hist = sharded_mc_histogram(
+        mesh, key, jnp.asarray(grid.sj), outsidecoi, DT, mother=MOTHER,
+        nfft=nfft, dj=grid.dj, per_device_batch=2, n=n, al1=0.5, al2=0.6,
+    )
+    hist = np.asarray(hist)
+    assert hist.shape == (len(grid.sj), 1000)
+    total = hist.sum()
+    expected = 8 * 2 * outsidecoi.sum()
+    assert total == expected, (total, expected)
