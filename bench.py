@@ -6,6 +6,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 ``vs_baseline`` is the ratio against the 1e9 sample-scales/s/chip target
 (the reference publishes no numbers of its own — BASELINE.md).
+
+Methodology: the pipeline is iterated on-device inside a single jitted
+``lax.fori_loop`` whose carry feeds each iteration's output back into the next
+input (airtight data dependency — no host round-trips, no transfer overhead,
+and robust against any result caching in the runtime).  Reported time is the
+slope between two loop counts, which cancels fixed dispatch cost.
 """
 from __future__ import annotations
 
@@ -22,41 +28,57 @@ TARGET = 1e9  # sample-scales/s/chip north-star target (BASELINE.json)
 
 def main():
     import pycwt_tpu as wt
-    from pycwt_tpu.config import DEFAULT
     from pycwt_tpu.transform import build_scale_grid, cwt_batch
 
     B = 1
-    N0 = 1 << 20          # 1M points
+    N0 = 1 << 20          # 1M points (pow-2: no padding)
     S = 64                # scales
     dt = 1.0
-    dj = 0.25             # 64 scales: s0=2dt, J=63 → sj up to 2·2^15.75
     mother = wt.Morlet(6)
-    grid = build_scale_grid(N0, dt, dj=dj, s0=2 * dt, J=S - 1)
+    grid = build_scale_grid(N0, dt, dj=0.25, s0=2 * dt, J=S - 1)
     assert len(grid.sj) == S
-    nfft = DEFAULT.fft_length(N0)
-    scales = jnp.asarray(grid.sj, dtype=jnp.float32)
+    scales_np = np.asarray(grid.sj, np.float32)
 
-    def fwd(x):
-        W, _ = cwt_batch(x, scales, dt, mother=mother, nfft=nfft)
-        power = jnp.abs(W) ** 2
-        return power.mean(-1)  # global wavelet spectrum keeps W from being DCE'd
+    def pipeline(x):
+        W, _ = cwt_batch(x, jnp.asarray(scales_np), dt, mother=mother, nfft=N0)
+        return (jnp.abs(W) ** 2).mean(-1)   # global wavelet spectrum (B, S)
+
+    def chained(x, salt, iters):
+        def body(i, carry):
+            x, acc = carry
+            gws = pipeline(x)
+            # Data dependency: fold a scalar of the output back into the input
+            # so iterations can neither be elided, cached, nor overlapped.
+            x = x * (1.0 + gws[0, 0] * jnp.float32(1e-12))
+            return x, acc + gws
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (x + salt, jnp.zeros((x.shape[0], S), jnp.float32))
+        )
+        return acc
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((B, N0)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, N0)), jnp.float32)
 
-    fn = jax.jit(fwd)
-    # Warmup / compile
-    out = jax.block_until_ready(fn(x))
-    assert np.isfinite(np.asarray(out)).all()
+    # Loop counts sized so device time (~1s / ~3s) dominates tunnel jitter.
+    n_lo, n_hi = 50, 150
+    f_lo = jax.jit(lambda x, s: chained(x, s, n_lo))
+    f_hi = jax.jit(lambda x, s: chained(x, s, n_hi))
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    jax.block_until_ready(out)
-    dt_s = (time.perf_counter() - t0) / iters
+    def run(f, salt):
+        """Each call gets a unique salt input so no runtime layer can ever
+        serve a cached/deduped result for an identical (executable, inputs)."""
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(f(x, jnp.float32(salt)))
+        return time.perf_counter() - t0, out
 
-    sample_scales_per_s = B * N0 * S / dt_s
+    run(f_lo, 1e-7)   # warm/compile
+    run(f_hi, 2e-7)
+    t_lo, _ = run(f_lo, 3e-7)
+    t_hi, out_hi = run(f_hi, 4e-7)
+    assert np.isfinite(np.asarray(out_hi)).all()
+
+    per_iter = (t_hi - t_lo) / (n_hi - n_lo)
+    sample_scales_per_s = B * N0 * S / per_iter
     print(json.dumps({
         "metric": "sample_scales_per_s_per_chip",
         "value": sample_scales_per_s,

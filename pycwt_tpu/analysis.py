@@ -1,0 +1,177 @@
+"""High-level analysis pipelines — the application layer.
+
+Library-grade equivalents of the reference's demo scripts:
+
+* :func:`cwt_analysis`  — the full Torrence & Compo Figure-1 flow of
+  ``/root/reference/pycwt/sample/sample.py:39-197`` / ``simple_sample.py``:
+  normalize → CWT → power → pointwise significance → global wavelet spectrum
+  (+ time-average significance) → scale-average power (+ scale-average
+  significance) → inverse transform, returned as a typed result record.
+* :func:`xwt_analysis` / :func:`wct_analysis` — the ``sample_xwt.py`` flow
+  (``sample/sample_xwt.py:52-168``) including the boxpdf preprocessing option
+  and the Torrence & Webster phase-arrow convention helpers.
+
+Everything heavy runs through the jitted batched cores; these functions are
+thin orchestration suitable for scripts and notebooks.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import api
+from .coherence import wct as _wct
+from .coherence import xwt as _xwt
+from .mothers import Mother, as_mother
+from .stats import ar1
+from .utils.helpers import boxpdf
+
+__all__ = ["CWTAnalysis", "cwt_analysis", "xwt_analysis", "wct_analysis",
+           "phase_arrows"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CWTAnalysis:
+    """Complete single-series wavelet analysis (TC98 Figure-1 contents)."""
+
+    signal: np.ndarray          # standardized input
+    t: np.ndarray               # time axis
+    dt: float
+    W: np.ndarray               # (S, N) wavelet transform
+    scales: np.ndarray
+    freqs: np.ndarray
+    period: np.ndarray
+    coi: np.ndarray
+    power: np.ndarray           # |W|²
+    alpha: float                # AR(1) coefficient used for the red-noise null
+    sig95: np.ndarray           # (S, N) power / pointwise significance ratio
+    global_power: np.ndarray    # variance-scaled global wavelet spectrum
+    global_signif: np.ndarray
+    scale_avg: np.ndarray       # scale-averaged power over `avg_band`
+    scale_avg_signif: float
+    avg_band: tuple
+    iwave: np.ndarray           # inverse transform (reconstruction)
+    std: float                  # original std (denormalization factor)
+
+
+def cwt_analysis(
+    signal,
+    dt: float,
+    t0: float = 0.0,
+    dj: float = 1 / 12,
+    s0: float = -1,
+    J: int = -1,
+    mother: Mother | str = "morlet",
+    significance_level: float = 0.95,
+    avg_band: tuple = (2.0, 8.0),
+    normalize: bool = True,
+    alpha: float | None = None,
+) -> CWTAnalysis:
+    """Run the complete TC98 analysis on one series.
+
+    Mirrors ``sample/sample.py``: AR(1) fit with white-noise fallback
+    (``sample.py:58-63``), pointwise chi-square test (eq. 18), global spectrum
+    with eq. 23 time-average significance (dof = N − scales, ``sample.py:86-89``),
+    and eq. 24 scale-average power over ``avg_band`` with eq. 26-28
+    significance (``sample.py:96-107``).
+    """
+    mother = as_mother(mother)
+    signal = np.asarray(signal, dtype=np.float64)
+    n0 = signal.size
+    std = float(signal.std())
+    x = (signal - signal.mean()) / std if normalize else signal.copy()
+    var = std ** 2 if normalize else float(signal.var())
+
+    if alpha is None:
+        try:
+            alpha, _, _ = ar1(x)
+        except Warning:
+            alpha = 0.0  # white-noise fallback, as the sample scripts do
+
+    W, sj, freqs, coi, _, _ = api.cwt(x, dt, dj=dj, s0=s0, J=J, wavelet=mother)
+    power = np.abs(W) ** 2
+    period = 1.0 / freqs
+
+    signif, _ = api.significance(1.0, dt, sj, 0, alpha=alpha,
+                                 significance_level=significance_level,
+                                 wavelet=mother)
+    sig95 = power / (signif[:, None] * np.ones((1, n0)))
+
+    # Global wavelet spectrum + eq. 23 time-average significance.
+    glbl_power = var * power.mean(axis=1)
+    dof = n0 - sj
+    glbl_signif, _ = api.significance(var, dt, sj, 1, alpha=alpha,
+                                      significance_level=significance_level,
+                                      dof=dof, wavelet=mother)
+
+    # Scale-average power over avg_band (TC98 eq. 24) + eq. 26-28 significance.
+    lo, hi = avg_band
+    sel = (period >= lo) & (period < hi)
+    # eq. 24 with Cdelta, as sample.py:99-101
+    cd = mother.cdelta
+    dj_eff = dj
+    scale_avg_full = power / sj[:, None]
+    scale_avg = var * dj_eff * dt / cd * scale_avg_full[sel, :].sum(axis=0)
+    try:
+        scale_avg_signif, _ = api.significance(
+            var, dt, sj, 2, alpha=alpha,
+            significance_level=significance_level,
+            dof=[sj[sel].min(), sj[sel].max()], wavelet=mother)
+    except ValueError:
+        scale_avg_signif = float("nan")
+
+    iwave = api.icwt(W, sj, dt, dj=dj_eff, wavelet=mother)
+
+    return CWTAnalysis(
+        signal=x, t=t0 + np.arange(n0) * dt, dt=dt, W=W, scales=sj,
+        freqs=freqs, period=period, coi=coi, power=power, alpha=float(alpha),
+        sig95=sig95, global_power=glbl_power, global_signif=glbl_signif,
+        scale_avg=scale_avg, scale_avg_signif=float(np.atleast_1d(scale_avg_signif)[0]),
+        avg_band=avg_band, iwave=np.real(iwave) * (std if normalize else 1.0),
+        std=std,
+    )
+
+
+def xwt_analysis(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
+                 significance_level: float = 0.8646,
+                 mother="morlet", boxpdf_transform: bool = False):
+    """Cross-wavelet analysis of a signal pair (``sample_xwt.py:139-141``).
+
+    ``significance_level`` defaults to 0.8646 per the Grinsted Z₂ convention
+    (reference ``wavelet.py:367-373``).  ``boxpdf_transform`` rank-transforms
+    strongly non-Gaussian series first (``sample_xwt.py:52``).
+    """
+    y1 = np.asarray(y1, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    if boxpdf_transform:
+        y1, _, _ = boxpdf(y1)
+        y2, _, _ = boxpdf(y2)
+    W12, coi, freq, signif = _xwt(y1, y2, dt, dj=dj, s0=s0, J=J,
+                                  significance_level=significance_level,
+                                  wavelet=mother)
+    cross_power = np.abs(W12)
+    cross_sig = cross_power / (signif[:, None])
+    phase = np.angle(W12)
+    return dict(W12=W12, cross_power=cross_power, cross_sig=cross_sig,
+                phase=phase, coi=coi, freq=freq, period=1 / freq,
+                signif=signif)
+
+
+def wct_analysis(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
+                 significance_level: float = 0.8646, mother="morlet",
+                 sig: bool = True, **kwargs):
+    """Wavelet-coherence analysis of a signal pair (``sample_xwt.py:151-154``)."""
+    WCT, aWCT, coi, freq, sig95 = _wct(
+        np.asarray(y1, np.float64), np.asarray(y2, np.float64), dt, dj=dj,
+        s0=s0, J=J, sig=sig, significance_level=significance_level,
+        wavelet=mother, **kwargs)
+    return dict(WCT=WCT, phase=aWCT, coi=coi, freq=freq, period=1 / freq,
+                sig95=sig95)
+
+
+def phase_arrows(phase: np.ndarray):
+    """(u, v) quiver components for the Torrence & Webster convention:
+    in-phase points up/N (reference ``sample_xwt.py:160-168``)."""
+    u, v = np.sin(phase), np.cos(phase)
+    return u, v

@@ -1,0 +1,63 @@
+"""Smoke + consistency tests for the high-level analysis pipelines and the
+example scripts."""
+import numpy as np
+
+import pycwt_tpu as wt
+from pycwt_tpu.analysis import cwt_analysis, wct_analysis, xwt_analysis
+from pycwt_tpu.sample import list_datasets, load
+from tests.conftest import rel_err
+
+
+def test_datasets_load():
+    names = list_datasets()
+    assert set(names) >= {"nino3", "mauna", "monsoon", "sunspots", "soi",
+                          "jao", "jbaltic"}
+    for n in names:
+        ds = load(n)
+        assert ds.values.ndim == 1 and len(ds.values) > 100
+        assert np.isfinite(ds.values).all()
+        assert len(ds.time) == len(ds.values)
+
+
+def test_cwt_analysis_nino3_consistency(golden):
+    ds = load("nino3")
+    res = cwt_analysis(ds.values, ds.dt, t0=ds.t0)
+    g = golden("cwt_nino3_morlet6")
+    assert rel_err(res.W, g["W"]) < 1e-10
+    assert res.power.shape == res.sig95.shape == res.W.shape
+    # significance ratio: some but not all points significant
+    frac = (res.sig95 > 1).mean()
+    assert 0.01 < frac < 0.5
+    # reconstruction resembles the input
+    snr = 10 * np.log10(np.mean(res.signal ** 2) /
+                        np.mean((res.signal - res.iwave / res.std) ** 2))
+    assert snr > 10
+    assert np.isfinite(res.scale_avg).all()
+    assert np.isfinite(res.scale_avg_signif)
+    assert np.isfinite(res.global_signif).all()
+
+
+def test_xwt_wct_analysis_smoke():
+    jao, jbaltic = load("jao"), load("jbaltic")
+    n = min(jao.values.size, jbaltic.values.size)
+    x = xwt_analysis(jao.values[:n], jbaltic.values[:n], jao.dt,
+                     boxpdf_transform=True)
+    assert np.isfinite(x["cross_power"]).all()
+    w = wct_analysis(jao.values[:n], jbaltic.values[:n], jao.dt, sig=False)
+    assert np.isfinite(w["WCT"]).all()
+
+
+def test_example_scripts_run():
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYCWT_TPU_PLATFORM": "cpu",
+           "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    for script in ["examples/sample_cwt.py"]:
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, script)], capture_output=True,
+            text=True, timeout=600, env=env, cwd=repo,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
