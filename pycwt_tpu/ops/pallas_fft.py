@@ -1,0 +1,295 @@
+"""Pallas TPU kernels: fused filter-bank × four-step inverse FFT for the CWT.
+
+The hot loop of the whole framework is ``ifft(signal_ft · ψ̄̂_s)`` over S scale
+rows (reference ``/root/reference/pycwt/wavelet.py:102-106``).  XLA's TPU FFT
+runs this as many radix passes over HBM; this module instead computes, per
+scale, a **four-step** inverse DFT
+
+    W[c + R2·d] = (1/N) Σ_a e^{2πi·ac/N} e^{2πi·ad/R1} Σ_b e^{2πi·bc/R2} Y[b·R1 + a]
+
+with each length-R col-DFT done **inside VMEM** as two mixed-radix substages of
+small (r×r) DFT matmuls on the MXU, and the filter bank ``Y = X·H_s`` built on
+the fly in the kernel prologue (never materialized in HBM).  HBM traffic per
+scale is one stream of the intermediate T (planar f32) out + in, plus the
+output — ~3 passes of N complex instead of XLA's ~log₂N passes.
+
+Complex arithmetic is planar (separate re/im f32 arrays) because the MXU has
+no complex type.  Stage math was verified against ``np.fft.ifft`` to 5e-15 in
+f64 prototype form; the f32 kernels are validated against the XLA path in
+``tests/test_pallas.py``.
+
+Layout summary (N = R2·R1, k = b·R1 + a, t = c + R2·d):
+
+    kernel A (grid S × R1/Ablk):  X(R2×Ablk), H on the fly → col-DFT_R2 →
+        twiddle e^{2πi·ac/N} → write T transposed as (Ablk × R2)
+    kernel B (grid S × R2/Cblk):  T'(R1×Cblk) → col-DFT_R1 → ·(1/N) →
+        write W[d, c] — already time-major ((S, N) ≡ (S, R1, R2))
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..mothers import Mother
+
+__all__ = ["fused_cwt", "supported_nfft"]
+
+
+def _split_radix(R: int) -> tuple[int, int]:
+    """R = r1·r2 with r1 = 2^(log2(R)//2) (balanced pow-2 split)."""
+    p = R.bit_length() - 1
+    assert 1 << p == R, "pow-2 only"
+    r1 = 1 << (p // 2)
+    return r1, R // r1
+
+
+def supported_nfft(nfft: int) -> bool:
+    """Kernel currently supports pow-2 lengths ≥ 2^12 (block shapes stay
+    MXU/VPU-aligned below that it's not worth it anyway)."""
+    return nfft >= (1 << 12) and (1 << (nfft.bit_length() - 1)) == nfft
+
+
+def _dft_tables(R: int):
+    """Host-side constants for one col-DFT of size R = r1·r2, b = b1·r2 + b2,
+    c = c1 + r1·c2 (inverse/positive sign):
+
+        F1[c1, b1] = e^{2πi·b1·c1/r1}
+        w [c1, b2] = e^{2πi·b2·c1/R}
+        F2[c2, b2] = e^{2πi·b2·c2/r2}
+    """
+    r1, r2 = _split_radix(R)
+    a1 = np.arange(r1)
+    a2 = np.arange(r2)
+    F1 = np.exp(2j * np.pi * np.outer(a1, a1) / r1)
+    w = np.exp(2j * np.pi * np.outer(a1, a2) / R)
+    F2 = np.exp(2j * np.pi * np.outer(a2, a2) / r2)
+    f32 = lambda z: (np.ascontiguousarray(z.real, np.float32),
+                     np.ascontiguousarray(z.imag, np.float32))
+    return f32(F1), f32(w), f32(F2), r1, r2
+
+
+def _col_dft(vr, vi, consts, R: int, A: int):
+    """Col-DFT of a planar (R, A) tile inside VMEM via two radix substages.
+
+    Returns planar (R, A) with rows c = c1 + r1·c2.
+    """
+    (F1r, F1i), (wr, wi), (F2r, F2i), r1, r2 = consts
+
+    # substage 1: contract b1 (leading axis of the (r1, r2·A) reshape)
+    v2r = vr.reshape(r1, r2 * A)
+    v2i = vi.reshape(r1, r2 * A)
+    pr = jnp.dot(F1r, v2r, preferred_element_type=jnp.float32) - \
+         jnp.dot(F1i, v2i, preferred_element_type=jnp.float32)
+    pi = jnp.dot(F1r, v2i, preferred_element_type=jnp.float32) + \
+         jnp.dot(F1i, v2r, preferred_element_type=jnp.float32)
+
+    # twiddle w[c1, b2] on the (r1, r2, A) view
+    p3r = pr.reshape(r1, r2, A)
+    p3i = pi.reshape(r1, r2, A)
+    w3r = wr[:, :, None]
+    w3i = wi[:, :, None]
+    qr = p3r * w3r - p3i * w3i
+    qi = p3r * w3i + p3i * w3r
+
+    # substage 2: contract b2 — move it to the front: (r2, r1, A)
+    qr = jnp.swapaxes(qr, 0, 1).reshape(r2, r1 * A)
+    qi = jnp.swapaxes(qi, 0, 1).reshape(r2, r1 * A)
+    zr = jnp.dot(F2r, qr, preferred_element_type=jnp.float32) - \
+         jnp.dot(F2i, qi, preferred_element_type=jnp.float32)
+    zi = jnp.dot(F2r, qi, preferred_element_type=jnp.float32) + \
+         jnp.dot(F2i, qr, preferred_element_type=jnp.float32)
+    # rows now (c2, c1) → c = c1 + r1·c2: row-major (r2, r1) flatten is c2·r1 + c1 ✓
+    return zr.reshape(R, A), zi.reshape(R, A)
+
+
+def _filter_tile(mother: Mother, s, b_rows, a0, Ablk, R1, nfft, dt, dtype):
+    """H̄_s for the (R2, Ablk) tile at column offset a0: norm·conj(ψ̂(s·ω_k)),
+    k = b·R1 + a (planar complex: returns hr, hi)."""
+    R2 = b_rows
+    b = jax.lax.broadcasted_iota(jnp.int32, (R2, Ablk), 0)
+    a = jax.lax.broadcasted_iota(jnp.int32, (R2, Ablk), 1) + a0
+    k = b * R1 + a
+    k = jnp.where(k >= nfft // 2, k - nfft, k)
+    omega = (2.0 * math.pi / (nfft * dt)) * k.astype(dtype)
+    env = mother.psi_ft_envelope(s * omega).astype(dtype)
+    norm = jnp.sqrt(2.0 * math.pi * s / dt)
+    cbar = np.conj(complex(mother.psi_ft_const()))
+    return (norm * float(cbar.real)) * env, (norm * float(cbar.imag)) * env
+
+
+def _read_tables(refs, r1: int, r2: int):
+    """Unpack the 6 DFT-table refs into the _col_dft constants tuple."""
+    f1r, f1i, wr, wi, f2r, f2i = (ref[:] for ref in refs)
+    return (f1r, f1i), (wr, wi), (f2r, f2i), r1, r2
+
+
+def _make_kernel_a(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
+                   Ablk: int, r1: int, r2: int):
+    def kernel(scale_ref, xr_ref, xi_ref, twr_ref, twi_ref,
+               f1r, f1i, wr_, wi_, f2r, f2i, tr_ref, ti_ref):
+        s = scale_ref[pl.program_id(0)]
+        j = pl.program_id(1)
+        consts2 = _read_tables((f1r, f1i, wr_, wi_, f2r, f2i), r1, r2)
+        hr, hi = _filter_tile(mother, s, R2, j * Ablk, Ablk, R1, nfft, dt,
+                              jnp.float32)
+        xr = xr_ref[:]
+        xi = xi_ref[:]
+        vr = xr * hr - xi * hi
+        vi = xr * hi + xi * hr
+        zr, zi = _col_dft(vr, vi, consts2, R2, Ablk)
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        tr = zr * twr - zi * twi
+        ti = zr * twi + zi * twr
+        tr_ref[0] = tr.T
+        ti_ref[0] = ti.T
+
+    return kernel
+
+
+def _make_kernel_b(R1: int, R2: int, Cblk: int, r1: int, r2: int,
+                   inv_n: float, power_out: bool):
+    def kernel(tr_ref, ti_ref, f1r, f1i, wr_, wi_, f2r, f2i, *out_refs):
+        consts1 = _read_tables((f1r, f1i, wr_, wi_, f2r, f2i), r1, r2)
+        tr = tr_ref[0]
+        ti = ti_ref[0]
+        mr, mi = _col_dft(tr, ti, consts1, R1, Cblk)
+        mr = mr * inv_n
+        mi = mi * inv_n
+        if power_out:
+            (p_ref,) = out_refs
+            pw = mr * mr + mi * mi
+            # reduce (R1, Cblk) -> (8, L) partial-sum tile (vector stores only)
+            L = min(Cblk, 128)
+            acc = pw.reshape(R1 // 8, 8, Cblk // L, L).sum(axis=(0, 2))
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                p_ref[:] = jnp.zeros_like(p_ref)
+            p_ref[0] += acc
+        else:
+            wr_ref, wi_ref = out_refs
+            wr_ref[0] = mr
+            wi_ref[0] = mi
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mother", "nfft", "dt", "Ablk", "Cblk", "power_only",
+                     "interpret"),
+)
+def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
+              Ablk: int = 256, Cblk: int = 256, power_only: bool = False,
+              interpret: bool = False):
+    """Fused Pallas CWT for ONE signal spectrum.
+
+    Parameters
+    ----------
+    signal_ft: (nfft,) complex64 — full FFT of the (padded) signal.
+    scales: (S,) f32 wavelet scales.
+    power_only: if True return (S,) Σ_t |W|² (the global-spectrum reduction —
+        minimal HBM traffic); else return (S, nfft) complex64 W **un-trimmed**
+        (caller slices [:, :n0]).
+
+    Notes
+    -----
+    Equivalent to ``jnp.fft.ifft(signal_ft · bank)`` with the bank of
+    ``ops.filterbank.filter_bank`` — validated to ~1e-6 relative in f32.
+    """
+    S = scales.shape[0]
+    R1, R2 = _nfft_factors(nfft)
+    consts2 = _dft_tables(R2)  # for col-DFT over b (size R2)
+    consts1 = _dft_tables(R1)  # for col-DFT over a (size R1)
+
+    a_idx = np.arange(R2, dtype=np.float64)
+    c_idx = np.arange(R1, dtype=np.float64)
+    twf = np.exp(2j * np.pi * np.outer(a_idx, c_idx) / nfft)  # [c(R2), a(R1)]
+    twr = jnp.asarray(twf.real, jnp.float32)
+    twi = jnp.asarray(twf.imag, jnp.float32)
+
+    xr = jnp.real(signal_ft).astype(jnp.float32).reshape(R2, R1)
+    xi = jnp.imag(signal_ft).astype(jnp.float32).reshape(R2, R1)
+    scales_flat = scales.astype(jnp.float32)
+
+    def table_inputs(consts):
+        (f1r, f1i), (wr_, wi_), (f2r, f2i), r1, r2 = consts
+        arrays = [jnp.asarray(a) for a in (f1r, f1i, wr_, wi_, f2r, f2i)]
+        specs = [pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim)
+                 for a in arrays]
+        return arrays, specs, r1, r2
+
+    tab2, tab2_specs, r1b, r2b = table_inputs(consts2)
+    kern_a = _make_kernel_a(mother, nfft, dt, R1, R2, Ablk, r1b, r2b)
+
+    grid_a = (S, R1 // Ablk)
+    t_shape = jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)
+    grid_spec_a = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid_a,
+        in_specs=[
+            pl.BlockSpec((R2, Ablk), lambda s, j, *refs: (0, j)),
+            pl.BlockSpec((R2, Ablk), lambda s, j, *refs: (0, j)),
+            pl.BlockSpec((R2, Ablk), lambda s, j, *refs: (0, j)),
+            pl.BlockSpec((R2, Ablk), lambda s, j, *refs: (0, j)),
+        ] + tab2_specs,
+        out_specs=[
+            pl.BlockSpec((1, Ablk, R2), lambda s, j, *refs: (s, j, 0)),
+            pl.BlockSpec((1, Ablk, R2), lambda s, j, *refs: (s, j, 0)),
+        ],
+    )
+    tr, ti = pl.pallas_call(
+        kern_a,
+        grid_spec=grid_spec_a,
+        out_shape=[t_shape, t_shape],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scales_flat, xr, xi, twr, twi, *tab2)
+
+    tab1, tab1_specs, r1a, r2a = table_inputs(consts1)
+    kern_b = _make_kernel_b(R1, R2, Cblk, r1a, r2a, 1.0 / nfft, power_only)
+    grid_b = (S, R2 // Cblk)
+    if power_only:
+        L = min(Cblk, 128)
+        out_shape = [jax.ShapeDtypeStruct((S, 8, L), jnp.float32)]
+        out_specs = [pl.BlockSpec((1, 8, L), lambda s, c: (s, 0, 0))]
+    else:
+        out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32),
+                     jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
+        out_specs = [pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c)),
+                     pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c))]
+
+    outs = pl.pallas_call(
+        kern_b,
+        grid=grid_b,
+        in_specs=[
+            pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c)),
+            pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c)),
+        ] + tab1_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tr, ti, *tab1)
+
+    if power_only:
+        return outs[0].sum(axis=(1, 2))  # partial-sum tiles -> (S,)
+    wr, wi = outs
+    return (wr + 1j * wi).reshape(S, nfft)
+
+
+def _nfft_factors(nfft: int) -> tuple[int, int]:
+    """(R1, R2) with N = R2·R1: R1 = inner/time-block factor (cols a),
+    R2 = rows b.  Balanced split."""
+    p = nfft.bit_length() - 1
+    R1 = 1 << (p // 2)
+    return R1, nfft // R1

@@ -1,0 +1,68 @@
+"""Correctness tests for the fused Pallas four-step CWT kernel (interpret
+mode on CPU; the on-TPU validation lives in tools/tpu_bench_fused.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pycwt_tpu as wt
+from pycwt_tpu.ops.filterbank import angular_frequencies, filter_bank
+from pycwt_tpu.ops.pallas_fft import fused_cwt, supported_nfft
+
+MOTHERS = [wt.Morlet(6), wt.Paul(4), wt.DOG(2), wt.DOG(6)]
+
+
+def _ref(X, scales, mother, nfft, dt):
+    ftf = angular_frequencies(nfft, dt, jnp.float32)
+    bank = filter_bank(mother, scales, ftf, dt).astype(jnp.complex64)
+    return np.asarray(jnp.fft.ifft(X[None] * bank, axis=-1))
+
+
+@pytest.mark.parametrize("mother", MOTHERS, ids=lambda m: f"{m.name}")
+def test_fused_cwt_matches_xla(mother):
+    nfft = 1 << 12
+    rng = np.random.default_rng(0)
+    X = jnp.fft.fft(jnp.asarray(rng.standard_normal(nfft), jnp.float32))
+    X = X.astype(jnp.complex64)
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(8) * 0.5), jnp.float32)
+    W_ref = _ref(X, scales, mother, nfft, 1.0)
+    W = np.asarray(fused_cwt(X, scales, mother=mother, nfft=nfft, dt=1.0,
+                             Ablk=32, Cblk=32, interpret=True))
+    scale = np.abs(W_ref).max()
+    assert np.abs(W - W_ref).max() / scale < 1e-5
+
+
+@pytest.mark.parametrize("nfft_pow", [12, 13, 14])
+def test_fused_cwt_sizes(nfft_pow):
+    """Both even and odd pow-2 splits (R1 ≠ R2)."""
+    nfft = 1 << nfft_pow
+    rng = np.random.default_rng(1)
+    X = jnp.fft.fft(jnp.asarray(rng.standard_normal(nfft), jnp.float32))
+    X = X.astype(jnp.complex64)
+    scales = jnp.asarray([4.0, 32.0], jnp.float32)
+    W_ref = _ref(X, scales, wt.Morlet(6), nfft, 0.5)
+    W = np.asarray(fused_cwt(X, scales, mother=wt.Morlet(6), nfft=nfft,
+                             dt=0.5, Ablk=32, Cblk=32, interpret=True))
+    assert np.abs(W - W_ref).max() / np.abs(W_ref).max() < 1e-5
+
+
+def test_fused_cwt_power_mode():
+    nfft = 1 << 12
+    rng = np.random.default_rng(2)
+    X = jnp.fft.fft(jnp.asarray(rng.standard_normal(nfft), jnp.float32))
+    X = X.astype(jnp.complex64)
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(4)), jnp.float32)
+    W_ref = _ref(X, scales, wt.Morlet(6), nfft, 1.0)
+    p_ref = (np.abs(W_ref) ** 2).sum(-1)
+    p = np.asarray(fused_cwt(X, scales, mother=wt.Morlet(6), nfft=nfft,
+                             dt=1.0, Ablk=32, Cblk=32, power_only=True,
+                             interpret=True))
+    assert np.abs(p - p_ref).max() / p_ref.max() < 1e-5
+
+
+def test_supported_nfft():
+    assert supported_nfft(1 << 12)
+    assert supported_nfft(1 << 20)
+    assert not supported_nfft(1000)
+    assert not supported_nfft(1 << 10)
