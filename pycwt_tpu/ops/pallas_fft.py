@@ -82,13 +82,17 @@ def _col_dft(vr, vi, consts, R: int, A: int):
     """
     (F1r, F1i), (wr, wi), (F2r, F2i), r1, r2 = consts
 
+    # f32 matmul precision on the MXU: HIGHEST = bf16x3 passes (~f32 exact).
+    # The Mosaic default is single-pass bf16, which costs ~5e-3 relative error
+    # in a 2-stage DFT — unacceptable for spectra.
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
     # substage 1: contract b1 (leading axis of the (r1, r2·A) reshape)
     v2r = vr.reshape(r1, r2 * A)
     v2i = vi.reshape(r1, r2 * A)
-    pr = jnp.dot(F1r, v2r, preferred_element_type=jnp.float32) - \
-         jnp.dot(F1i, v2i, preferred_element_type=jnp.float32)
-    pi = jnp.dot(F1r, v2i, preferred_element_type=jnp.float32) + \
-         jnp.dot(F1i, v2r, preferred_element_type=jnp.float32)
+    pr = dot(F1r, v2r) - dot(F1i, v2i)
+    pi = dot(F1r, v2i) + dot(F1i, v2r)
 
     # twiddle w[c1, b2] on the (r1, r2, A) view
     p3r = pr.reshape(r1, r2, A)
@@ -101,10 +105,8 @@ def _col_dft(vr, vi, consts, R: int, A: int):
     # substage 2: contract b2 — move it to the front: (r2, r1, A)
     qr = jnp.swapaxes(qr, 0, 1).reshape(r2, r1 * A)
     qi = jnp.swapaxes(qi, 0, 1).reshape(r2, r1 * A)
-    zr = jnp.dot(F2r, qr, preferred_element_type=jnp.float32) - \
-         jnp.dot(F2i, qi, preferred_element_type=jnp.float32)
-    zi = jnp.dot(F2r, qi, preferred_element_type=jnp.float32) + \
-         jnp.dot(F2i, qr, preferred_element_type=jnp.float32)
+    zr = dot(F2r, qr) - dot(F2i, qi)
+    zi = dot(F2r, qi) + dot(F2i, qr)
     # rows now (c2, c1) → c = c1 + r1·c2: row-major (r2, r1) flatten is c2·r1 + c1 ✓
     return zr.reshape(R, A), zi.reshape(R, A)
 

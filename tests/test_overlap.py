@@ -1,0 +1,55 @@
+"""Overlap-save long-signal CWT: interior parity with the global transform."""
+import numpy as np
+
+import jax.numpy as jnp
+
+import pycwt_tpu as wt
+from pycwt_tpu.config import next_pow2
+from pycwt_tpu.ops.overlap import cwt_overlap_save, halo_samples
+from pycwt_tpu.transform import build_scale_grid, cwt_batch
+
+
+def test_halo_sizing():
+    assert halo_samples(10.0, 1.0) == int(np.ceil(np.sqrt(-2 * np.log(1e-7)) * 10))
+    assert halo_samples(10.0, 0.5) == 2 * halo_samples(10.0, 1.0)
+
+
+def test_overlap_save_interior_matches_global():
+    rng = np.random.default_rng(0)
+    N = 4096
+    x = rng.standard_normal(N)
+    dt = 1.0
+    grid = build_scale_grid(N, dt, dj=0.5, s0=2.0, J=8)  # s_max = 2·2^4 = 32
+    scales = np.asarray(grid.sj)
+
+    W_global, _ = cwt_batch(jnp.asarray(x)[None], jnp.asarray(scales), dt,
+                            mother=wt.Morlet(6), nfft=next_pow2(N))
+    W_global = np.asarray(W_global[0])
+
+    W_blocked = np.asarray(cwt_overlap_save(x, scales, dt, mother=wt.Morlet(6),
+                                            chunk=1024))
+    assert W_blocked.shape == W_global.shape
+
+    H = halo_samples(scales.max(), dt)
+    interior = slice(H, N - H)
+    err = np.abs(W_blocked[:, interior] - W_global[:, interior])
+    # Scales clear of Nyquist (s >= 4dt): round-off parity.  Near-Nyquist
+    # scales carry O(ψ̂(s·π/dt)) discretization ringing (see module docstring).
+    for i, s in enumerate(scales):
+        rel = err[i].max() / np.abs(W_global[i]).max()
+        if s >= 4 * dt:
+            assert rel < 1e-6, (s, rel)
+        else:
+            nyq = float(np.exp(-0.5 * (s * np.pi / dt - 6.0) ** 2))
+            assert rel < max(10 * nyq, 1e-6), (s, rel, nyq)
+
+
+def test_overlap_save_short_signal_passthrough():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(500)
+    grid = build_scale_grid(500, 1.0, dj=0.5)
+    W = np.asarray(cwt_overlap_save(x, grid.sj, 1.0, mother=wt.Morlet(6),
+                                    chunk=1 << 18))
+    W_ref, _ = cwt_batch(jnp.asarray(x)[None], jnp.asarray(grid.sj), 1.0,
+                         mother=wt.Morlet(6), nfft=next_pow2(500))
+    np.testing.assert_allclose(W, np.asarray(W_ref[0]), rtol=0, atol=1e-12)
