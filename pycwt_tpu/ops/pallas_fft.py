@@ -136,8 +136,10 @@ def _make_kernel_a(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
                    Ablk: int, r1: int, r2: int):
     def kernel(scale_ref, xr_ref, xi_ref, twr_ref, twi_ref,
                f1r, f1i, wr_, wi_, f2r, f2i, tr_ref, ti_ref):
-        s = scale_ref[pl.program_id(0)]
-        j = pl.program_id(1)
+        # grid is (j, s): s innermost so the X/twiddle blocks (which depend
+        # only on j) stay resident across all scales of one column block.
+        s = scale_ref[pl.program_id(1)]
+        j = pl.program_id(0)
         consts2 = _read_tables((f1r, f1i, wr_, wi_, f2r, f2i), r1, r2)
         hr, hi = _filter_tile(mother, s, R2, j * Ablk, Ablk, R1, nfft, dt,
                               jnp.float32)
@@ -231,20 +233,20 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
     tab2, tab2_specs, r1b, r2b = table_inputs(consts2)
     kern_a = _make_kernel_a(mother, nfft, dt, R1, R2, Ablk, r1b, r2b)
 
-    grid_a = (S, R1 // Ablk)
+    grid_a = (R1 // Ablk, S)
     t_shape = jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)
     grid_spec_a = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid_a,
         in_specs=[
-            pl.BlockSpec((R2, Ablk), lambda s, j, *refs: (0, j)),
-            pl.BlockSpec((R2, Ablk), lambda s, j, *refs: (0, j)),
-            pl.BlockSpec((R2, Ablk), lambda s, j, *refs: (0, j)),
-            pl.BlockSpec((R2, Ablk), lambda s, j, *refs: (0, j)),
+            pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
+            pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
+            pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
+            pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
         ] + tab2_specs,
         out_specs=[
-            pl.BlockSpec((1, Ablk, R2), lambda s, j, *refs: (s, j, 0)),
-            pl.BlockSpec((1, Ablk, R2), lambda s, j, *refs: (s, j, 0)),
+            pl.BlockSpec((1, Ablk, R2), lambda j, s, *refs: (s, j, 0)),
+            pl.BlockSpec((1, Ablk, R2), lambda j, s, *refs: (s, j, 0)),
         ],
     )
     tr, ti = pl.pallas_call(
