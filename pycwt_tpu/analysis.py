@@ -67,6 +67,7 @@ def cwt_analysis(
     avg_band: tuple = (2.0, 8.0),
     normalize: bool = True,
     alpha: float | None = None,
+    rectify: bool = False,
 ) -> CWTAnalysis:
     """Run the complete TC98 analysis on one series.
 
@@ -122,6 +123,14 @@ def cwt_analysis(
         scale_avg_signif = float("nan")
 
     iwave = api.icwt(W, sj, dt, dj=dj_eff, wavelet=mother)
+
+    if rectify:
+        # Liu, Liang & Weisberg (2007) bias rectification: divide the power
+        # spectrum by scale so peaks at different scales are comparable.  The
+        # reference carries this as a commented-out TODO (sample.py:84-86).
+        # Applied AFTER the significance ratio and the TC98 global/scale
+        # averages, which keep their eq. 18/23/24 definitions.
+        power = power / sj[:, None]
 
     return CWTAnalysis(
         signal=x, t=t0 + np.arange(n0) * dt, dt=dt, W=W, scales=sj,

@@ -221,19 +221,38 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
     """
     mother = as_mother(wavelet)
 
+    # Multi-host semantics: only process 0 touches the disk cache; results are
+    # broadcast so every process returns the same curve (SURVEY.md §5
+    # checkpoint/resume contract).
+    is_coord = jax.process_index() == 0
+
     if cache:
+        # Reference-compatible key (wavelet.py:575-578): α's folded through
+        # round(arctanh(4α)) so nearby coefficients share an entry.
         aa = np.round(np.arctanh(np.array([al1, al2]) * 4))
         aa = np.abs(aa) + 0.5 * (aa < 0)
         cache_file = "wct_sig_{:0.5f}_{:0.5f}_{:0.5f}_{:0.5f}_{:d}_{}".format(
             aa[0], aa[1], dj, s0 / dt, J, mother.name
         )
         cache_dir = get_cache_dir()
-        try:
-            dat = np.loadtxt(f"{cache_dir}/{cache_file}.gz", unpack=True)
-            print("NOTE: WCT significance loaded from cache.\n")
-            return dat
-        except OSError:
-            pass
+        cached = None
+        if is_coord:
+            try:
+                cached = np.loadtxt(f"{cache_dir}/{cache_file}.gz", unpack=True)
+                print("NOTE: WCT significance loaded from cache.\n")
+            except OSError:
+                cached = None
+        if jax.process_count() > 1:
+            from .parallel.distributed import host_broadcast_array
+
+            hit = host_broadcast_array(
+                np.array([0.0 if cached is None else 1.0]))[0] > 0.5
+            if hit:
+                if cached is None:
+                    cached = np.zeros(J + 1)
+                return host_broadcast_array(np.asarray(cached, np.float64))
+        elif cached is not None:
+            return cached
 
     if progress:
         print("Calculating wavelet coherence significance")
@@ -277,6 +296,6 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
         wlc, int(maxscale), significance_level, outsidecoi_any
     )
 
-    if cache:
+    if cache and is_coord:
         np.savetxt(f"{cache_dir}/{cache_file}.gz", sig95)
     return sig95
