@@ -82,7 +82,7 @@ def _host_float():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-@functools.partial(jax.jit, static_argnames=("mother", "nfft", "dj"))
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj"))
 def _wct_core(y1n, y2n, scales, dt, *, mother: Mother, nfft: int, dj: float):
     """Jitted WCT pipeline on normalized batched inputs ``(B, n0)``.
 
@@ -151,7 +151,7 @@ def wct(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, sig=True, significance_level=0.95,
     return WCT, aWCT, coi, freq, sig_out
 
 
-@functools.partial(jax.jit, static_argnames=("mother", "nfft", "dj", "batch", "n", "al1", "al2"))
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj", "batch", "n", "al1", "al2"))
 def _mc_histogram_chunk(key, scales, outsidecoi, dt, *, mother: Mother, nfft: int,
                         dj: float, batch: int, n: int, al1: float, al2: float):
     """One on-device Monte-Carlo chunk: ``batch`` surrogate pairs → coherence →

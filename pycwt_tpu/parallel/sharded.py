@@ -127,11 +127,12 @@ def sharded_wct(mesh: Mesh, y1, y2, scales, dt, dj, *, mother: Mother, nfft: int
     ds = NamedSharding(mesh, P("data", None))
     y1 = jax.device_put(y1, ds)
     y2 = jax.device_put(y2, ds)
+    dt = float(dt)  # static in the inner jit — close over it
     fn = jax.jit(
-        functools.partial(_wct_core, mother=mother, nfft=nfft, dj=dj),
+        lambda a, b, sc: _wct_core(a, b, sc, dt, mother=mother, nfft=nfft, dj=dj),
         out_shardings=NamedSharding(mesh, P("data", None, None)),
     )
-    return fn(y1, y2, jnp.asarray(scales), dt)
+    return fn(y1, y2, jnp.asarray(scales))
 
 
 def sharded_mc_histogram(mesh: Mesh, key, scales, outsidecoi, dt, *,

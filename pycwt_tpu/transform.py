@@ -85,7 +85,7 @@ def coi_bartlett(n0: int, dt: float, mother: Mother) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mother", "nfft", "config")
+    jax.jit, static_argnames=("dt", "mother", "nfft", "config", "engine")
 )
 def cwt_batch(
     signals: jax.Array,
@@ -95,6 +95,7 @@ def cwt_batch(
     mother: Mother,
     nfft: int,
     config: CWTConfig = DEFAULT,
+    engine: str = "xla",
 ):
     """Batched forward CWT.
 
@@ -130,6 +131,19 @@ def cwt_batch(
     else:
         mirror = jnp.conj(half[:, -1:0:-1])
     signal_ft = jnp.concatenate([half, mirror], axis=-1).astype(cdt)  # (B, nfft)
+
+    if engine == "pallas":
+        # Fused Pallas four-step path (f32, pow-2 nfft): filter bank built in
+        # the kernel prologue, iFFT as MXU DFT stages (ops/pallas_fft.py).
+        from .ops.pallas_fft import fused_cwt, supported_nfft
+
+        if not supported_nfft(nfft):
+            raise ValueError(f"pallas engine needs pow-2 nfft >= 4096, got {nfft}")
+        W_full = jax.vmap(
+            lambda sf: fused_cwt(sf, scales.astype(jnp.float32), mother=mother,
+                                 nfft=nfft, dt=float(dt))
+        )(signal_ft.astype(jnp.complex64))
+        return W_full[..., : signals.shape[-1]], signal_ft
 
     ftfreqs = angular_frequencies(nfft, dt, dtype=rdt)
 
