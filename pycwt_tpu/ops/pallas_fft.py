@@ -41,6 +41,15 @@ from ..mothers import Mother
 
 __all__ = ["fused_cwt", "supported_nfft"]
 
+# f32 matmul precision for the MXU DFT stages.  HIGHEST = bf16x3 (~f32-exact,
+# 3 passes); overridable for experiments via set_matmul_precision().
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(p):
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = p
+
 
 def _split_radix(R: int) -> tuple[int, int]:
     """R = r1·r2 with r1 = 2^(log2(R)//2) (balanced pow-2 split)."""
@@ -86,7 +95,7 @@ def _col_dft(vr, vi, consts, R: int, A: int):
     # The Mosaic default is single-pass bf16, which costs ~5e-3 relative error
     # in a 2-stage DFT — unacceptable for spectra.
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=_MATMUL_PRECISION)
 
     # substage 1: contract b1 (leading axis of the (r1, r2·A) reshape)
     v2r = vr.reshape(r1, r2 * A)

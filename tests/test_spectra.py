@@ -1,0 +1,45 @@
+"""Parseval global-spectrum shortcut vs the full transform."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pycwt_tpu as wt
+from pycwt_tpu.config import next_pow2
+from pycwt_tpu.ops.spectra import global_power_parseval
+from pycwt_tpu.transform import build_scale_grid, cwt_batch
+from tests.conftest import rel_err
+
+
+@pytest.mark.parametrize("mother", [wt.Morlet(6), wt.Paul(4), wt.DOG(2)],
+                         ids=lambda m: m.name)
+def test_parseval_exact_when_unpadded(mother):
+    rng = np.random.default_rng(0)
+    N = 1024  # pow-2: nfft == N, identity is exact
+    X = rng.standard_normal((3, N))
+    grid = build_scale_grid(N, 1.0, dj=0.5, s0=2.0, J=7)
+    W, _ = cwt_batch(jnp.asarray(X), jnp.asarray(grid.sj), 1.0,
+                     mother=mother, nfft=N)
+    ref = (np.abs(np.asarray(W)) ** 2).sum(-1)
+    fast = np.asarray(global_power_parseval(
+        jnp.asarray(X), jnp.asarray(grid.sj), dt=1.0, mother=mother, nfft=N))
+    assert rel_err(fast, ref) < 1e-10
+
+
+def test_parseval_padded_close():
+    """With zero padding the identity includes pad-region (edge-wrap) power —
+    small relative to the total for interior-supported signals."""
+    rng = np.random.default_rng(1)
+    N = 700
+    nfft = next_pow2(N)
+    X = rng.standard_normal((2, N))
+    grid = build_scale_grid(N, 1.0, dj=0.5, s0=2.0, J=6)
+    W, _ = cwt_batch(jnp.asarray(X), jnp.asarray(grid.sj), 1.0,
+                     mother=wt.Morlet(6), nfft=nfft)
+    ref = (np.abs(np.asarray(W)) ** 2).sum(-1)  # trimmed to N
+    fast = np.asarray(global_power_parseval(
+        jnp.asarray(X), jnp.asarray(grid.sj), dt=1.0, mother=wt.Morlet(6),
+        nfft=nfft))
+    # fast includes the pad region: always >= trimmed, within ~20%
+    assert np.all(fast >= ref - 1e-9)
+    assert np.abs(fast - ref).max() / ref.max() < 0.2
