@@ -65,13 +65,29 @@ def supported_nfft(nfft: int) -> bool:
     return nfft >= (1 << 12) and (1 << (nfft.bit_length() - 1)) == nfft
 
 
-def _dft_tables(R: int):
+def _blockdiag(F: np.ndarray, G: int) -> np.ndarray:
+    """G copies of F on the diagonal — packs G independent radix-r DFTs into
+    one (G·r × G·r) matmul so the MXU contraction depth reaches 128 (a K=32
+    matmul runs the systolic array at 25 % utilization; packed K=128 runs it
+    full)."""
+    r = F.shape[0]
+    out = np.zeros((G * r, G * r), dtype=F.dtype)
+    for g in range(G):
+        out[g * r:(g + 1) * r, g * r:(g + 1) * r] = F
+    return out
+
+
+def _dft_tables(R: int, pack_to: int = 128):
     """Host-side constants for one col-DFT of size R = r1·r2, b = b1·r2 + b2,
     c = c1 + r1·c2 (inverse/positive sign):
 
         F1[c1, b1] = e^{2πi·b1·c1/r1}
         w [c1, b2] = e^{2πi·b2·c1/R}
         F2[c2, b2] = e^{2πi·b2·c2/r2}
+
+    F1/F2 are emitted block-diagonally packed to contraction depth
+    ``pack_to`` (see :func:`_blockdiag`); the returned G1/G2 are the packing
+    group counts.
     """
     r1, r2 = _split_radix(R)
     a1 = np.arange(r1)
@@ -79,17 +95,43 @@ def _dft_tables(R: int):
     F1 = np.exp(2j * np.pi * np.outer(a1, a1) / r1)
     w = np.exp(2j * np.pi * np.outer(a1, a2) / R)
     F2 = np.exp(2j * np.pi * np.outer(a2, a2) / r2)
+    G1 = max(1, pack_to // r1)
+    G2 = max(1, pack_to // r2)
+    F1 = _blockdiag(F1, G1)
+    F2 = _blockdiag(F2, G2)
     f32 = lambda z: (np.ascontiguousarray(z.real, np.float32),
                      np.ascontiguousarray(z.imag, np.float32))
-    return f32(F1), f32(w), f32(F2), r1, r2
+    return f32(F1), f32(w), f32(F2), r1, r2, G1, G2
+
+
+def _packed_cmatmul(Fr, Fi, xr, xi, r: int, G: int, dot):
+    """Complex matmul of a block-diag-packed radix-r DFT against a planar
+    (r, M) tile: packs G column-groups into the contraction dim so the MXU
+    runs at depth G·r instead of r.  Returns planar (r, M)."""
+    if G == 1:
+        return dot(Fr, xr) - dot(Fi, xi), dot(Fr, xi) + dot(Fi, xr)
+    M = xr.shape[1]
+    Mg = M // G
+
+    def pack(v):
+        return jnp.swapaxes(v.reshape(r, G, Mg), 0, 1).reshape(G * r, Mg)
+
+    def unpack(p):
+        return jnp.swapaxes(p.reshape(G, r, Mg), 0, 1).reshape(r, M)
+
+    pxr, pxi = pack(xr), pack(xi)
+    pr = dot(Fr, pxr) - dot(Fi, pxi)
+    pi = dot(Fr, pxi) + dot(Fi, pxr)
+    return unpack(pr), unpack(pi)
 
 
 def _col_dft(vr, vi, consts, R: int, A: int):
-    """Col-DFT of a planar (R, A) tile inside VMEM via two radix substages.
+    """Col-DFT of a planar (R, A) tile inside VMEM via two radix substages
+    (MXU-packed, see :func:`_packed_cmatmul`).
 
     Returns planar (R, A) with rows c = c1 + r1·c2.
     """
-    (F1r, F1i), (wr, wi), (F2r, F2i), r1, r2 = consts
+    (F1r, F1i), (wr, wi), (F2r, F2i), r1, r2, G1, G2 = consts
 
     # f32 matmul precision on the MXU: HIGHEST = bf16x3 passes (~f32 exact).
     # The Mosaic default is single-pass bf16, which costs ~5e-3 relative error
@@ -100,8 +142,7 @@ def _col_dft(vr, vi, consts, R: int, A: int):
     # substage 1: contract b1 (leading axis of the (r1, r2·A) reshape)
     v2r = vr.reshape(r1, r2 * A)
     v2i = vi.reshape(r1, r2 * A)
-    pr = dot(F1r, v2r) - dot(F1i, v2i)
-    pi = dot(F1r, v2i) + dot(F1i, v2r)
+    pr, pi = _packed_cmatmul(F1r, F1i, v2r, v2i, r1, G1, dot)
 
     # twiddle w[c1, b2] on the (r1, r2, A) view
     p3r = pr.reshape(r1, r2, A)
@@ -114,8 +155,7 @@ def _col_dft(vr, vi, consts, R: int, A: int):
     # substage 2: contract b2 — move it to the front: (r2, r1, A)
     qr = jnp.swapaxes(qr, 0, 1).reshape(r2, r1 * A)
     qi = jnp.swapaxes(qi, 0, 1).reshape(r2, r1 * A)
-    zr = dot(F2r, qr) - dot(F2i, qi)
-    zi = dot(F2r, qi) + dot(F2i, qr)
+    zr, zi = _packed_cmatmul(F2r, F2i, qr, qi, r2, G2, dot)
     # rows now (c2, c1) → c = c1 + r1·c2: row-major (r2, r1) flatten is c2·r1 + c1 ✓
     return zr.reshape(R, A), zi.reshape(R, A)
 
@@ -135,21 +175,21 @@ def _filter_tile(mother: Mother, s, b_rows, a0, Ablk, R1, nfft, dt, dtype):
     return (norm * float(cbar.real)) * env, (norm * float(cbar.imag)) * env
 
 
-def _read_tables(refs, r1: int, r2: int):
+def _read_tables(refs, r1: int, r2: int, G1: int, G2: int):
     """Unpack the 6 DFT-table refs into the _col_dft constants tuple."""
     f1r, f1i, wr, wi, f2r, f2i = (ref[:] for ref in refs)
-    return (f1r, f1i), (wr, wi), (f2r, f2i), r1, r2
+    return (f1r, f1i), (wr, wi), (f2r, f2i), r1, r2, G1, G2
 
 
 def _make_kernel_a(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
-                   Ablk: int, r1: int, r2: int):
+                   Ablk: int, r1: int, r2: int, G1: int, G2: int):
     def kernel(scale_ref, xr_ref, xi_ref, twr_ref, twi_ref,
                f1r, f1i, wr_, wi_, f2r, f2i, tr_ref, ti_ref):
         # grid is (j, s): s innermost so the X/twiddle blocks (which depend
         # only on j) stay resident across all scales of one column block.
         s = scale_ref[pl.program_id(1)]
         j = pl.program_id(0)
-        consts2 = _read_tables((f1r, f1i, wr_, wi_, f2r, f2i), r1, r2)
+        consts2 = _read_tables((f1r, f1i, wr_, wi_, f2r, f2i), r1, r2, G1, G2)
         hr, hi = _filter_tile(mother, s, R2, j * Ablk, Ablk, R1, nfft, dt,
                               jnp.float32)
         xr = xr_ref[:]
@@ -168,9 +208,9 @@ def _make_kernel_a(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
 
 
 def _make_kernel_b(R1: int, R2: int, Cblk: int, r1: int, r2: int,
-                   inv_n: float, power_out: bool):
+                   G1: int, G2: int, inv_n: float, power_out: bool):
     def kernel(tr_ref, ti_ref, f1r, f1i, wr_, wi_, f2r, f2i, *out_refs):
-        consts1 = _read_tables((f1r, f1i, wr_, wi_, f2r, f2i), r1, r2)
+        consts1 = _read_tables((f1r, f1i, wr_, wi_, f2r, f2i), r1, r2, G1, G2)
         tr = tr_ref[0]
         ti = ti_ref[0]
         mr, mi = _col_dft(tr, ti, consts1, R1, Cblk)
@@ -233,14 +273,14 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
     scales_flat = scales.astype(jnp.float32)
 
     def table_inputs(consts):
-        (f1r, f1i), (wr_, wi_), (f2r, f2i), r1, r2 = consts
+        (f1r, f1i), (wr_, wi_), (f2r, f2i), r1, r2, G1, G2 = consts
         arrays = [jnp.asarray(a) for a in (f1r, f1i, wr_, wi_, f2r, f2i)]
         specs = [pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim)
                  for a in arrays]
-        return arrays, specs, r1, r2
+        return arrays, specs, r1, r2, G1, G2
 
-    tab2, tab2_specs, r1b, r2b = table_inputs(consts2)
-    kern_a = _make_kernel_a(mother, nfft, dt, R1, R2, Ablk, r1b, r2b)
+    tab2, tab2_specs, r1b, r2b, G1b, G2b = table_inputs(consts2)
+    kern_a = _make_kernel_a(mother, nfft, dt, R1, R2, Ablk, r1b, r2b, G1b, G2b)
 
     grid_a = (R1 // Ablk, S)
     t_shape = jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)
@@ -267,8 +307,9 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
         interpret=interpret,
     )(scales_flat, xr, xi, twr, twi, *tab2)
 
-    tab1, tab1_specs, r1a, r2a = table_inputs(consts1)
-    kern_b = _make_kernel_b(R1, R2, Cblk, r1a, r2a, 1.0 / nfft, power_only)
+    tab1, tab1_specs, r1a, r2a, G1a, G2a = table_inputs(consts1)
+    kern_b = _make_kernel_b(R1, R2, Cblk, r1a, r2a, G1a, G2a, 1.0 / nfft,
+                            power_only)
     grid_b = (S, R2 // Cblk)
     if power_only:
         L = min(Cblk, 128)

@@ -34,16 +34,16 @@ scales = jnp.asarray(2.0 * 2 ** (np.arange(S) * 0.25), jnp.float32)
 
 
 def table_inputs(consts):
-    (f1r, f1i), (wr_, wi_), (f2r, f2i), r1, r2 = consts
+    (f1r, f1i), (wr_, wi_), (f2r, f2i), r1, r2, G1, G2 = consts
     arrays = [jnp.asarray(a) for a in (f1r, f1i, wr_, wi_, f2r, f2i)]
     specs = [pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim) for a in arrays]
-    return arrays, specs, r1, r2
+    return arrays, specs, r1, r2, G1, G2
 
 
-tab2, tab2_specs, r1b, r2b = table_inputs(consts2)
-tab1, tab1_specs, r1a, r2a = table_inputs(consts1)
+tab2, tab2_specs, r1b, r2b, G1b, G2b = table_inputs(consts2)
+tab1, tab1_specs, r1a, r2a, G1a, G2a = table_inputs(consts1)
 
-kern_a = pf._make_kernel_a(mother, nfft, dt, R1, R2, Ablk, r1b, r2b)
+kern_a = pf._make_kernel_a(mother, nfft, dt, R1, R2, Ablk, r1b, r2b, G1b, G2b)
 t_shape = jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)
 grid_spec_a = pltpu.PrefetchScalarGridSpec(
     num_scalar_prefetch=1,
@@ -56,7 +56,7 @@ run_a = jax.jit(lambda sc, xr, xi: pl.pallas_call(
     compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
 )(sc, xr, xi, twr, twi, *tab2))
 
-kern_b = pf._make_kernel_b(R1, R2, Cblk, r1a, r2a, 1.0 / nfft, True)
+kern_b = pf._make_kernel_b(R1, R2, Cblk, r1a, r2a, G1a, G2a, 1.0 / nfft, True)
 L = min(Cblk, 128)
 run_b = jax.jit(lambda tr, ti: pl.pallas_call(
     kern_b, grid=(S, R2 // Cblk),
