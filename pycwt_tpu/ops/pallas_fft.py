@@ -95,8 +95,10 @@ def _dft_tables(R: int, pack_to: int = 128):
     F1 = np.exp(2j * np.pi * np.outer(a1, a1) / r1)
     w = np.exp(2j * np.pi * np.outer(a1, a2) / R)
     F2 = np.exp(2j * np.pi * np.outer(a2, a2) / r2)
-    G1 = max(1, pack_to // r1)
-    G2 = max(1, pack_to // r2)
+    # Block-diag packing measured SLOWER on v5e (Mosaic relayout cost
+    # exceeds the MXU-depth gain) — disabled; kept for experiments.
+    G1 = 1 if pack_to else max(1, pack_to // r1)
+    G2 = 1 if pack_to else max(1, pack_to // r2)
     F1 = _blockdiag(F1, G1)
     F2 = _blockdiag(F2, G2)
     f32 = lambda z: (np.ascontiguousarray(z.real, np.float32),
