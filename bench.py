@@ -76,17 +76,23 @@ def main():
     f_lo = jax.jit(lambda x, s: chained(x, s, n_lo))
     f_hi = jax.jit(lambda x, s: chained(x, s, n_hi))
 
-    def run(f, salt):
+    salt_box = [0]
+
+    def run(f):
         """Each call gets a unique salt input so no runtime layer can ever
         serve a cached/deduped result for an identical (executable, inputs)."""
+        salt_box[0] += 1
         t0 = time.perf_counter()
-        out = jax.block_until_ready(f(x, jnp.float32(salt)))
+        out = jax.block_until_ready(f(x, jnp.float32(salt_box[0] * 1e-7)))
         return time.perf_counter() - t0, out
 
-    run(f_lo, 1e-7)   # warm/compile
-    run(f_hi, 2e-7)
-    t_lo, _ = run(f_lo, 3e-7)
-    t_hi, out_hi = run(f_hi, 4e-7)
+    run(f_lo)   # warm/compile
+    run(f_hi)
+    # Min-of-3 filters transfer/dispatch latency spikes (they only ever add).
+    t_lo = min(run(f_lo)[0] for _ in range(3))
+    results = [run(f_hi) for _ in range(3)]
+    t_hi = min(t for t, _ in results)
+    out_hi = results[-1][1]
     assert np.isfinite(np.asarray(out_hi)).all()
 
     per_iter = (t_hi - t_lo) / (n_hi - n_lo)
