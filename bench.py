@@ -80,31 +80,31 @@ def main():
 
     def run(f):
         """Each call gets a unique salt input so no runtime layer can ever
-        serve a cached/deduped result for an identical (executable, inputs);
-        a host fetch of the output guarantees execution actually finished
-        (block_until_ready alone was observed to return early on this
-        runtime)."""
+        serve a cached/deduped result for an identical (executable, inputs)."""
         salt_box[0] += 1
         t0 = time.perf_counter()
-        out = np.asarray(f(x, jnp.float32(salt_box[0] * 1e-7)))
+        out = jax.block_until_ready(f(x, jnp.float32(salt_box[0] * 1e-7)))
         return time.perf_counter() - t0, out
 
     run(f_lo)   # warm/compile
     run(f_hi)
-    # Median-of-5 rejects both stall outliers (too slow) and any async
-    # escapes (too fast).
-    import statistics
-    t_lo = statistics.median(run(f_lo)[0] for _ in range(5))
-    results = [run(f_hi) for _ in range(5)]
-    t_hi = statistics.median(t for t, _ in results)
-    out_hi = results[-1][1]
-    assert np.isfinite(np.asarray(out_hi)).all()
 
-    per_iter = (t_hi - t_lo) / (n_hi - n_lo)
-    if per_iter < 1e-4:
-        # Slope corrupted by runtime noise — fall back to the conservative
-        # whole-run upper bound (includes fixed dispatch overhead).
+    # One timed call per loop count; retry the pair until the slope lands in
+    # a physically-sane window (the runtime occasionally injects multi-second
+    # stalls or returns early — both are detectable for this workload).
+    per_iter = None
+    for _ in range(4):
+        t_lo, _ = run(f_lo)
+        t_hi, out_hi = run(f_hi)
+        cand = (t_hi - t_lo) / (n_hi - n_lo)
+        if 1e-3 <= cand <= 0.2:  # 1 ms .. 200 ms per 64×1M-pt transform
+            per_iter = cand
+            break
+    if per_iter is None:
+        # Conservative upper bound: whole-run time incl. fixed overhead.
+        t_hi, out_hi = run(f_hi)
         per_iter = t_hi / n_hi
+    assert np.isfinite(np.asarray(out_hi)).all()
     sample_scales_per_s = B * N0 * S / per_iter
     print(json.dumps({
         "metric": "sample_scales_per_s_per_chip",
