@@ -12,6 +12,12 @@ Methodology: the pipeline is iterated on-device inside a single jitted
 input (airtight data dependency — no host round-trips, no transfer overhead,
 and robust against any result caching in the runtime).  Reported time is the
 slope between two loop counts, which cancels fixed dispatch cost.
+
+Completion is forced by fetching the (tiny, B×S) result to host with
+``np.asarray`` — on the tunneled "axon" platform ``block_until_ready`` has
+been observed to return before device execution finishes, which silently
+turns a timing loop into a dispatch-latency measurement; a host transfer of
+the output cannot return early.
 """
 from __future__ import annotations
 
@@ -80,10 +86,12 @@ def main():
 
     def run(f):
         """Each call gets a unique salt input so no runtime layer can ever
-        serve a cached/deduped result for an identical (executable, inputs)."""
+        serve a cached/deduped result for an identical (executable, inputs).
+        np.asarray forces a host fetch of the (B, S) output — the only
+        completion barrier that provably waits on the axon tunnel."""
         salt_box[0] += 1
         t0 = time.perf_counter()
-        out = jax.block_until_ready(f(x, jnp.float32(salt_box[0] * 1e-7)))
+        out = np.asarray(f(x, jnp.float32(salt_box[0] * 1e-7)))
         return time.perf_counter() - t0, out
 
     run(f_lo)   # warm/compile
