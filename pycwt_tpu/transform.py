@@ -122,15 +122,23 @@ def cwt_batch(
         raise ValueError(f"signals must be (B, n0), got {signals.shape}")
     scales = jnp.asarray(scales, dtype=rdt)
 
-    # K1: one forward FFT per signal.  Real input → rFFT + Hermitian mirror is
-    # the cheap way to the full spectrum (the filters are not Hermitian, so the
-    # inverse must be a full complex iFFT).
-    half = jnp.fft.rfft(signals, n=nfft, axis=-1)          # (B, nfft//2+1)
-    if nfft % 2 == 0:
-        mirror = jnp.conj(half[:, -2:0:-1])
+    # K1: one forward FFT per signal.  Two lowerings:
+    #   - "xla":      rFFT custom call + Hermitian mirror (cheapest where the
+    #                 backend's FFT works);
+    #   - "mxu"/"pallas": four-step DFT as MXU matmuls (ops/mxu_dft.py) — no
+    #                 FFT custom call at all.  Required on runtimes where
+    #                 XLA's FFT hangs at compile (tunneled single-chip axon).
+    if engine in ("mxu", "pallas") and nfft >= 16 and nfft & (nfft - 1) == 0:
+        from .ops.mxu_dft import fft_of_real
+
+        signal_ft = fft_of_real(signals, nfft).astype(cdt)  # (B, nfft)
     else:
-        mirror = jnp.conj(half[:, -1:0:-1])
-    signal_ft = jnp.concatenate([half, mirror], axis=-1).astype(cdt)  # (B, nfft)
+        half = jnp.fft.rfft(signals, n=nfft, axis=-1)      # (B, nfft//2+1)
+        if nfft % 2 == 0:
+            mirror = jnp.conj(half[:, -2:0:-1])
+        else:
+            mirror = jnp.conj(half[:, -1:0:-1])
+        signal_ft = jnp.concatenate([half, mirror], axis=-1).astype(cdt)
 
     if engine == "pallas":
         # Fused Pallas four-step path (f32, pow-2 nfft): filter bank built in
@@ -153,7 +161,12 @@ def cwt_batch(
 
     # K1⁻¹: batched inverse FFT over all (B × S) rows, trim to n0
     # (reference ``wavelet.py:105-106, 123``).
-    W = jnp.fft.ifft(prod, axis=-1)[..., : signals.shape[-1]]
+    if engine == "mxu":
+        from .ops.mxu_dft import idft
+
+        W = idft(prod)[..., : signals.shape[-1]]
+    else:
+        W = jnp.fft.ifft(prod, axis=-1)[..., : signals.shape[-1]]
     return W, signal_ft
 
 
