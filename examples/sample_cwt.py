@@ -11,6 +11,8 @@ Usage:  python examples/sample_cwt.py [nino3|mauna|monsoon|sunspots|soi]
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 if os.environ.get("PYCWT_TPU_PLATFORM"):

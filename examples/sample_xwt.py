@@ -5,6 +5,9 @@ Baltic sea-ice pair — TPU-native counterpart of ``pycwt/sample/sample_xwt.py``
 Monte-Carlo significance sharded over the device, phase quivers).
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
