@@ -7,7 +7,10 @@ Monte-Carlo significance sharded over the device, phase quivers).
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # prefer an installed pycwt_tpu; fall back to the repo checkout
+    import pycwt_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -8,8 +8,8 @@ wavelets), redesigned TPU-first:
 
 * batched, statically-shaped, jit-compiled transform cores
   (:mod:`pycwt_tpu.transform`);
-* a Pallas-fused filter-bank kernel for the hot loop
-  (:mod:`pycwt_tpu.ops.pallas_filterbank`);
+* a Pallas-fused filter-bank × four-step-iFFT kernel for the hot loop
+  (:mod:`pycwt_tpu.ops.pallas_fft`);
 * sharding over a ``(data × scale × mc)`` device mesh with psum-reduced
   Monte-Carlo ensembles (:mod:`pycwt_tpu.parallel`);
 * a drop-in, pycwt-compatible user API (this module's top level).

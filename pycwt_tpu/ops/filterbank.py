@@ -13,7 +13,7 @@ Every supported mother factorizes as ``ψ̂(f) = c · env(f)`` with a *real*
 envelope and a complex constant (see ``mothers.py``), so the filter application
 is a real-envelope broadcast multiply — pure VPU work that XLA fuses into the
 iFFT's input; a Pallas variant streams (scale-block × freq-tile) tiles without
-materializing the bank (``pallas_filterbank.py``).
+materializing the bank (``pallas_fft.py``).
 """
 from __future__ import annotations
 

@@ -72,17 +72,29 @@ def test_reconstruction_snr():
     assert snr > 20, f"reconstruction SNR too low: {snr:.1f} dB"
 
 
-def test_parseval_filterbank_normalization():
-    """ψ̂ unit-energy normalization: for white noise the expected wavelet power
-    at every scale equals the variance (TC98 eq. 10 normalization check) —
-    within Monte-Carlo tolerance over a long series."""
-    rng = np.random.default_rng(1)
-    x = rng.standard_normal(8192)
-    x = (x - x.mean()) / x.std()
-    W, sj, *_ = wt.cwt(x, 1.0, dj=0.25, s0=2.0, J=12)
-    power = (np.abs(W) ** 2).mean(axis=1)
-    # Mid scales (away from COI-dominated largest scales)
-    assert np.all(power[:8] > 0.6) and np.all(power[:8] < 1.6)
+def test_parseval_filterbank_normalization(golden):
+    """TC98 eq. 14 variance preservation, deterministically:
+
+        σ² ≈ dj·dt/(C_δ·N) · Σ_{j,t} |W[j,t]|² / s_j
+
+    On unit-variance NINO3 with the default Morlet-6 grid the reference's own
+    transform gives exactly 0.97499972839683 (goldens), so (a) our eq.-14 sum
+    must match the golden-W-derived sum to ≤1e-10 relative — a 40% (or 0.1%)
+    normalization bug cannot pass — and (b) both must sit within TC98's
+    few-percent discretization band of the true variance."""
+    g = golden("cwt_nino3_morlet6")
+    x, dt, dj = g["signal"], float(g["dt"]), 1 / 12
+    W, sj, *_ = wt.cwt(x, dt, dj=dj)
+    cdelta = wt.Morlet(6).cdelta
+
+    def eq14(Wm, s):
+        return dj * dt / (cdelta * x.size) * float(
+            (np.abs(Wm) ** 2 / np.asarray(s)[:, None]).sum())
+
+    ours = eq14(W, sj)
+    theirs = eq14(g["W"], g["sj"])
+    assert abs(ours - theirs) / theirs < 1e-10
+    assert 0.95 < ours < 1.0  # TC98 eq.-14 discretization band around σ²=1
 
 
 def test_batched_matches_single():
