@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .config import DEFAULT
+from .config import CWTConfig, DEFAULT
 from .mothers import as_mother
 from .stats import significance  # noqa: F401  (re-exported, implemented in stats)
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
@@ -24,13 +24,18 @@ from .transform import build_scale_grid, coi_bartlett, cwt_batch
 __all__ = ["cwt", "icwt", "significance"]
 
 
-def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
+def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None,
+        config: CWTConfig = DEFAULT):
     """Continuous wavelet transform of a 1-D signal.
 
     Same contract as the reference ``cwt`` (``/root/reference/pycwt/wavelet.py:13-124``):
     returns ``(W, sj, freqs, coi, fft, fftfreqs)`` with ``W`` of shape
     ``(n_scales, n0)``, pow-2 padded FFTs, Bartlett-triangle COI, and the
     normalized one-sided signal spectrum.
+
+    ``config`` selects the padding policy (``pad_pow2=False`` matches the
+    reference's pyfftw no-padding path, ``helpers.py:15-19``), dtype mode, and
+    FFT engine.
 
     The reference's data-dependent NaN-row drop (``wavelet.py:111-115`` —
     triggered e.g. by Paul-wavelet overflow at large scales) is decided
@@ -44,7 +49,7 @@ def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother, freqs=freqs)
     sj, out_freqs = grid.sj, grid.freqs
 
-    nfft = DEFAULT.fft_length(n0)
+    nfft = config.fft_length(n0)
     ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
 
     # Host-side replica of the reference's NaN-row drop (wavelet.py:111-115):
@@ -56,7 +61,8 @@ def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
         sj = sj[~bad]
         out_freqs = out_freqs[~bad]
 
-    W, signal_ft = cwt_batch(signal[None, :], jnp.asarray(sj), dt, mother=mother, nfft=nfft)
+    W, signal_ft = cwt_batch(signal[None, :], jnp.asarray(sj), dt, mother=mother,
+                             nfft=nfft, config=config)
     W = np.asarray(W[0])
     signal_ft = np.asarray(signal_ft[0])
 

@@ -23,11 +23,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .config import DEFAULT
+from .config import CWTConfig, DEFAULT
 from .mothers import Mother, as_mother
 from .ops.smoothing import smooth
 from .ops.special import chi2_ppf
-from .stats import ar1, ar1_spectrum, rednoise_batch
+from .stats import ar1, ar1_spectrum, rednoise_members
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
 from .utils.helpers import find, get_cache_dir
 
@@ -37,7 +37,7 @@ NBINS = 1000  # histogram resolution of the MC coherence CDF (wavelet.py:606)
 
 
 def xwt(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
-        wavelet="morlet", normalize=True):
+        wavelet="morlet", normalize=True, config: CWTConfig = DEFAULT):
     """Cross-wavelet transform of two signals.
 
     Returns ``(W12, coi, freq, signif)`` exactly as the reference
@@ -59,7 +59,7 @@ def xwt(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
     else:
         y1_n, y2_n = y1, y2
 
-    kw = dict(dj=dj, s0=s0, J=J, wavelet=wavelet)
+    kw = dict(dj=dj, s0=s0, J=J, wavelet=wavelet, config=config)
     W1, sj, freq, coi, _, _ = cwt(y1_n, dt, **kw)
     W2, sj, freq, coi, _, _ = cwt(y2_n, dt, **kw)
 
@@ -82,32 +82,37 @@ def _host_float():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj"))
-def _wct_core(y1n, y2n, scales, dt, *, mother: Mother, nfft: int, dj: float):
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj", "engine"))
+def _wct_core(y1n, y2n, scales, dt, *, mother: Mother, nfft: int, dj: float,
+              engine: str | None = None):
     """Jitted WCT pipeline on normalized batched inputs ``(B, n0)``.
 
     Implements reference ``wavelet.py:499-514``: two CWTs, three smoothings of
-    the scale-normalized (co)spectra, coherence magnitude and phase.
+    the scale-normalized (co)spectra, coherence magnitude and phase.  Every
+    FFT inside (forward CWTs and the three smoothing passes) honors the engine
+    policy so WCT compiles on backends without XLA's FFT custom call.
     """
-    W1, _ = cwt_batch(y1n, scales, dt, mother=mother, nfft=nfft)
-    W2, _ = cwt_batch(y2n, scales, dt, mother=mother, nfft=nfft)
+    W1, _ = cwt_batch(y1n, scales, dt, mother=mother, nfft=nfft, engine=engine)
+    W2, _ = cwt_batch(y2n, scales, dt, mother=mother, nfft=nfft, engine=engine)
     s_col = scales[:, None]
-    S1 = smooth(jnp.abs(W1) ** 2 / s_col, dt, dj, scales, mother)
-    S2 = smooth(jnp.abs(W2) ** 2 / s_col, dt, dj, scales, mother)
+    S1 = smooth(jnp.abs(W1) ** 2 / s_col, dt, dj, scales, mother, engine=engine)
+    S2 = smooth(jnp.abs(W2) ** 2 / s_col, dt, dj, scales, mother, engine=engine)
     W12 = W1 * jnp.conj(W2)
-    S12 = smooth(W12 / s_col, dt, dj, scales, mother)
+    S12 = smooth(W12 / s_col, dt, dj, scales, mother, engine=engine)
     WCT = jnp.abs(S12) ** 2 / (S1 * S2)
     aWCT = jnp.angle(W12)
     return WCT, aWCT, W12
 
 
 def wct(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, sig=True, significance_level=0.95,
-        wavelet="morlet", normalize=True, **kwargs):
+        wavelet="morlet", normalize=True, config: CWTConfig = DEFAULT, **kwargs):
     """Wavelet coherence transform of two signals.
 
     Returns ``(WCT, aWCT, coi, freq, sig)`` as the reference
     (``wavelet.py:422-528``).  ``kwargs`` are forwarded to
     :func:`wct_significance` (``mc_count``, ``cache``, ``progress``, ``seed``...).
+    ``config`` selects padding policy, dtype, and FFT engine for the whole
+    pipeline (including the MC significance).
     """
     mother = as_mother(wavelet)
     y1 = np.asarray(y1)
@@ -128,10 +133,12 @@ def wct(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, sig=True, significance_level=0.95,
 
     n0 = y1.size
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
-    nfft = DEFAULT.fft_length(n0)
+    nfft = config.fft_length(n0)
+    rdt = config.real_dtype
     WCT, aWCT, _ = _wct_core(
-        jnp.asarray(y1_n)[None], jnp.asarray(y2_n)[None], jnp.asarray(grid.sj),
-        dt, mother=mother, nfft=nfft, dj=dj,
+        jnp.asarray(y1_n, dtype=rdt)[None], jnp.asarray(y2_n, dtype=rdt)[None],
+        jnp.asarray(grid.sj, dtype=rdt),
+        dt, mother=mother, nfft=nfft, dj=dj, engine=config.engine,
     )
     WCT = np.asarray(WCT[0])
     aWCT = np.asarray(aWCT[0])
@@ -143,7 +150,8 @@ def wct(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, sig=True, significance_level=0.95,
         a2, _, _ = ar1(y2)
         sig_out = wct_significance(
             a1, a2, dt=dt, dj=dj, s0=s0, J=J,
-            significance_level=significance_level, wavelet=mother, **kwargs,
+            significance_level=significance_level, wavelet=mother,
+            config=config, **kwargs,
         )
     else:
         sig_out = np.asarray([0])
@@ -151,20 +159,27 @@ def wct(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, sig=True, significance_level=0.95,
     return WCT, aWCT, coi, freq, sig_out
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj", "batch", "n", "al1", "al2"))
-def _mc_histogram_chunk(key, scales, outsidecoi, dt, *, mother: Mother, nfft: int,
-                        dj: float, batch: int, n: int, al1: float, al2: float):
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj", "batch",
+                                             "n", "al1", "al2", "engine"))
+def _mc_histogram_chunk(key, start, scales, outsidecoi, dt, *, mother: Mother,
+                        nfft: int, dj: float, batch: int, n: int, al1: float,
+                        al2: float, engine: str | None = None):
     """One on-device Monte-Carlo chunk: ``batch`` surrogate pairs → coherence →
     per-scale histogram counts ``(S, NBINS)``.
 
     Replaces the reference's serial loop + pure-Python histogram
-    (``wavelet.py:609-630``).
+    (``wavelet.py:609-630``).  ``start`` is the chunk's first *global*
+    ensemble index: member streams are keyed by global index
+    (:func:`pycwt_tpu.stats.rednoise_members`) so the summed histogram is
+    identical for any chunking or mesh sharding of the same ``(seed, mc_count)``.
     """
     k1, k2 = jax.random.split(key)
     dtype = scales.dtype
-    noise1 = rednoise_batch(k1, n, al1, 1.0, batch=batch, dtype=dtype)
-    noise2 = rednoise_batch(k2, n, al2, 1.0, batch=batch, dtype=dtype)
-    R2, _, _ = _wct_core(noise1, noise2, scales, dt, mother=mother, nfft=nfft, dj=dj)
+    idx = start + jnp.arange(batch)
+    noise1 = rednoise_members(k1, idx, n, al1, 1.0, dtype=dtype)
+    noise2 = rednoise_members(k2, idx, n, al2, 1.0, dtype=dtype)
+    R2, _, _ = _wct_core(noise1, noise2, scales, dt, mother=mother, nfft=nfft,
+                         dj=dj, engine=engine)
     # Bin the coherence values outside the COI, exactly floor(R2·nbins)
     # (wavelet.py:628), clipped for safety at R2 >= 1.
     bins = jnp.clip(jnp.floor(R2 * NBINS).astype(jnp.int32), 0, NBINS - 1)
@@ -201,7 +216,7 @@ def mc_significance_from_histogram(wlc: np.ndarray, maxscale: int,
 
 def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
                      wavelet="morlet", mc_count=300, progress=True, cache=True,
-                     seed=0, mc_batch=50):
+                     seed=0, mc_batch=50, config: CWTConfig = DEFAULT):
     """Monte-Carlo WCT significance levels.
 
     Same contract and cache format as the reference (``wavelet.py:531-647``):
@@ -270,8 +285,8 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
     outsidecoi_any = outsidecoi.any(axis=1)
     maxscale = find(outsidecoi_any)[-1]
 
-    nfft = DEFAULT.fft_length(n)
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    nfft = config.fft_length(n)
+    dtype = config.real_dtype
     scales_j = jnp.asarray(sj, dtype=dtype)
     oc = jnp.asarray(outsidecoi)
 
@@ -280,10 +295,10 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
     done = 0
     while done < mc_count:
         b = min(mc_batch, mc_count - done)
-        key, sub = jax.random.split(key)
         hist = _mc_histogram_chunk(
-            sub, scales_j, oc, dt, mother=mother, nfft=nfft, dj=dj,
-            batch=b, n=n, al1=float(al1), al2=float(al2),
+            key, jnp.int32(done), scales_j, oc, dt, mother=mother, nfft=nfft,
+            dj=dj, batch=b, n=n, al1=float(al1), al2=float(al2),
+            engine=config.engine,
         )
         wlc += np.asarray(hist, dtype=np.float64)
         done += b

@@ -29,15 +29,21 @@ class CWTConfig:
     ----------
     pad_pow2:
         Pad FFT lengths to the next power of two.  Matches the reference's
-        default scipy path (``helpers.py:27-30``).  Power-of-two lengths are
-        also what XLA's TPU FFT likes best.
+        default scipy path (``helpers.py:27-30``); ``False`` matches its
+        pyfftw path (``helpers.py:15-19`` — no padding).  Power-of-two
+        lengths are also what XLA's TPU FFT likes best.
     dtype:
         Real compute dtype.  ``None`` means "float64 when x64 is enabled,
         else float32".
+    engine:
+        FFT/kernel engine for every transform and auxiliary FFT:
+        ``"xla"`` | ``"mxu"`` | ``"pallas"`` (see ``ops/fft.py``).  ``None``
+        defers to the ``PYCWT_TPU_ENGINE`` env var, then ``"xla"``.
     """
 
     pad_pow2: bool = True
     dtype: jnp.dtype | None = None
+    engine: str | None = None
 
     @property
     def real_dtype(self) -> jnp.dtype:

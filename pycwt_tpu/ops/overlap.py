@@ -15,11 +15,23 @@ outer ``halo`` samples of the first/last chunk differ only inside the region
 the COI masks anyway — "cone-of-influence padding" is the domain's natural
 overlap contract (SURVEY.md §5).
 
-Chunks are independent → shard them over the 'data' mesh axis (each chip owns
-a contiguous time slab; no inter-chip halo exchange is needed because halos
-are read from the replicated host input at chunk construction; a fully
-device-resident halo-exchange variant via ``ppermute`` is the planned
-extension for multi-host streaming ingest).
+Three execution modes, all device-resident and memory-bounded:
+
+* :func:`cwt_overlap_save` — ``lax.scan`` over chunks on one device.  Peak
+  intermediate memory is ONE chunk's (S × nfft_c) transform (plus the output
+  itself), versus the global path's (S × nfft_global) — the per-chunk
+  working set is ~N/chunk× smaller, which is what lets a 2^24-point
+  64-scale transform run where the global (S × 2^24) intermediate would
+  not fit alongside its FFT workspace.
+* :func:`streamed_global_power` — same scan but only the running Σ_t |W|²
+  accumulator survives a chunk: peak memory ∝ chunk, independent of N.
+  This is the N≫HBM global-spectrum path.
+* :func:`sharded_cwt_overlap_save` — the time axis sharded over the 'data'
+  mesh axis: each device holds a contiguous slab of the *input*, exchanges
+  ``halo`` edge samples with its mesh neighbors via ``ppermute`` (zero-filled
+  at the global edges — identical to the zero-pad semantics of the global
+  FFT), and scans its own chunks locally.  Output comes out time-sharded
+  ``P(None, 'data')``; no other communication.
 
 **Near-Nyquist caveat.** For scales where the mother's spectrum is still
 large at the Nyquist frequency (Morlet-6 at the TC98 default smallest scale
@@ -39,12 +51,19 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
 
 from ..config import next_pow2
 from ..mothers import Mother
 from ..transform import cwt_batch
 
-__all__ = ["halo_samples", "cwt_overlap_save"]
+__all__ = [
+    "halo_samples",
+    "cwt_overlap_save",
+    "streamed_global_power",
+    "sharded_cwt_overlap_save",
+]
 
 
 def halo_samples(max_scale: float, dt: float, eps: float = 1e-7) -> int:
@@ -53,51 +72,166 @@ def halo_samples(max_scale: float, dt: float, eps: float = 1e-7) -> int:
     return int(math.ceil(zeta * max_scale / dt))
 
 
-def cwt_overlap_save(signal, scales, dt: float, *, mother: Mother,
-                     chunk: int = 1 << 18, eps: float = 1e-7):
-    """Blocked CWT of a long 1-D signal.
-
-    Parameters
-    ----------
-    signal: (N,) array (host or device).
-    scales: (S,) wavelet scales.
-    chunk: output samples per block (the FFT length is the pow-2 of
-        ``chunk + 2·halo``).
-    eps: wavelet truncation tolerance setting the halo size.
-
-    Returns
-    -------
-    (S, N) complex W, assembled from per-chunk transforms.  Interior samples
-    (≥ halo from either end) are identical to the global-FFT transform; the
-    edges follow zero-padding semantics (inside the COI either way).
-    """
-    signal = np.asarray(signal)
+def _pad_for_chunks(signal, chunk: int, H: int):
+    signal = jnp.asarray(signal)
     N = signal.shape[-1]
+    n_chunks = (N + chunk - 1) // chunk
+    padded = jnp.zeros(n_chunks * chunk + 2 * H, dtype=signal.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, signal, (H,))
+    return padded, N, n_chunks
+
+
+def cwt_overlap_save(signal, scales, dt: float, *, mother: Mother,
+                     chunk: int = 1 << 18, eps: float = 1e-7,
+                     engine: str | None = None):
+    """Blocked CWT of a long 1-D signal with bounded working memory.
+
+    Chunks are processed sequentially in a ``lax.scan``; each step's transform
+    ((S × nfft_c) with ``nfft_c = pow2(chunk + 2·halo)``) is freed before the
+    next, so peak memory ≈ output (S × N) + ONE chunk — not the
+    (n_chunks × S × nfft) batch of a naive blocked implementation and not the
+    (S × pow2(N)) padded intermediate of the global path.
+
+    Returns ``(S, N)`` complex W.  Interior samples (≥ halo from either end)
+    are identical to the global-FFT transform; the edges follow zero-padding
+    semantics (inside the COI either way).
+    """
+    scales = jnp.asarray(scales)
     smax = float(np.max(np.asarray(scales)))
     H = halo_samples(smax, dt, eps)
     if chunk <= 0:
         raise ValueError("chunk must be positive")
+    signal = jnp.asarray(signal)
+    N = signal.shape[-1]
     if N <= chunk:
         nfft = next_pow2(N)
-        W, _ = cwt_batch(jnp.asarray(signal)[None], jnp.asarray(scales), dt,
-                         mother=mother, nfft=nfft)
+        W, _ = cwt_batch(signal[None], scales, dt, mother=mother, nfft=nfft,
+                         engine=engine)
         return W[0]
 
+    padded, N, n_chunks = _pad_for_chunks(signal, chunk, H)
     nfft = next_pow2(chunk + 2 * H)
-    n_chunks = (N + chunk - 1) // chunk
+    S = scales.shape[0]
+    cdt = jnp.complex128 if padded.dtype == jnp.float64 else jnp.complex64
 
-    # Build the (n_chunks, chunk + 2H) haloed slab matrix host-side
-    # (zero-padded at the ends, matching the reference's zero-pad semantics).
-    padded = np.zeros(N + 2 * H + chunk, dtype=signal.dtype)
-    padded[H:H + N] = signal
-    slabs = np.stack([
-        padded[i * chunk: i * chunk + chunk + 2 * H] for i in range(n_chunks)
-    ])
+    @jax.jit
+    def run(padded, scales):
+        def body(carry, i):
+            slab = jax.lax.dynamic_slice(padded, (i * chunk,), (chunk + 2 * H,))
+            W, _ = cwt_batch(slab[None], scales, dt, mother=mother, nfft=nfft,
+                             engine=engine)
+            carry = jax.lax.dynamic_update_slice(
+                carry, W[0, :, H:H + chunk], (0, i * chunk))
+            return carry, None
 
-    W_slabs, _ = cwt_batch(jnp.asarray(slabs), jnp.asarray(scales), dt,
-                           mother=mother, nfft=nfft)
-    # Keep the center `chunk` samples of each slab: output t = i·chunk + j
-    # corresponds to slab sample H + j.
-    W_keep = W_slabs[:, :, H:H + chunk]            # (n_chunks, S, chunk)
-    W = jnp.concatenate(jnp.split(W_keep, n_chunks, axis=0), axis=-1)[0]
-    return W[:, :N]
+        out0 = jnp.zeros((S, n_chunks * chunk), dtype=cdt)
+        out, _ = jax.lax.scan(body, out0, jnp.arange(n_chunks))
+        return out
+
+    return run(padded, scales)[:, :N]
+
+
+def streamed_global_power(signal, scales, dt: float, *, mother: Mother,
+                          chunk: int = 1 << 18, eps: float = 1e-7,
+                          engine: str | None = None):
+    """Σ_t |W[s, t]|² of a long signal with peak memory ∝ chunk, independent
+    of N — the N≫HBM global-wavelet-spectrum path (TC98 eq. 22 numerator;
+    the reference materializes all of W first, ``sample/sample.py:90``).
+
+    Returns ``(S,)`` real.  Divide by N for the mean.
+    """
+    scales = jnp.asarray(scales)
+    smax = float(np.max(np.asarray(scales)))
+    H = halo_samples(smax, dt, eps)
+    signal = jnp.asarray(signal)
+    padded, N, n_chunks = _pad_for_chunks(signal, chunk, H)
+    nfft = next_pow2(chunk + 2 * H)
+    S = scales.shape[0]
+    rdt = padded.dtype
+
+    @jax.jit
+    def run(padded, scales):
+        def body(acc, i):
+            slab = jax.lax.dynamic_slice(padded, (i * chunk,), (chunk + 2 * H,))
+            W, _ = cwt_batch(slab[None], scales, dt, mother=mother, nfft=nfft,
+                             engine=engine)
+            Wc = W[0, :, H:H + chunk]
+            # Mask the zero-pad tail of the final chunk out of the sum.
+            t = i * chunk + jnp.arange(chunk)
+            p = jnp.where((t < N)[None, :], jnp.abs(Wc) ** 2, 0)
+            return acc + p.sum(axis=-1), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((S,), rdt), jnp.arange(n_chunks))
+        return acc
+
+    return run(padded, scales)
+
+
+def sharded_cwt_overlap_save(mesh: Mesh, signal, scales, dt: float, *,
+                             mother: Mother, chunk: int = 1 << 16,
+                             eps: float = 1e-7, engine: str | None = None,
+                             axis_name: str = "data"):
+    """Time-axis-SHARDED overlap-save CWT: sequence parallelism over the mesh.
+
+    The input ``(N,)`` signal is sharded ``P('data')`` — each device owns a
+    contiguous slab of N/n_dev samples (N must divide evenly and the slab must
+    be a multiple of ``chunk``).  Devices exchange ``halo`` edge samples with
+    neighbors via ``ppermute`` (the global edges receive zeros — identical to
+    the global FFT's zero-padding), then scan their local chunks with NO
+    further communication.  Output is ``(S, N)`` sharded ``P(None, 'data')``:
+    the (S × N) transform — 512 B/sample at 64 scales f32 — never exists on
+    one device.
+
+    This is the device-resident halo-exchange design SURVEY §2b P3 calls for;
+    the reference's only long-signal concession is pow-2 padding
+    (``/root/reference/pycwt/helpers.py:27-30``).
+    """
+    scales_j = jnp.asarray(scales)
+    smax = float(np.max(np.asarray(scales)))
+    H = halo_samples(smax, dt, eps)
+    signal = jnp.asarray(signal)
+    N = signal.shape[-1]
+    n_dev = mesh.shape[axis_name]
+    if N % n_dev:
+        raise ValueError(f"N={N} not divisible by {n_dev} devices")
+    N_loc = N // n_dev
+    if N_loc % chunk:
+        raise ValueError(f"local slab {N_loc} not a multiple of chunk {chunk}")
+    if H > N_loc:
+        raise ValueError(f"halo {H} exceeds local slab {N_loc}; "
+                         "use fewer shards or a larger slab")
+    n_chunks = N_loc // chunk
+    nfft = next_pow2(chunk + 2 * H)
+    S = scales_j.shape[0]
+    cdt = jnp.complex128 if signal.dtype == jnp.float64 else jnp.complex64
+
+    def shard_fn(sig_loc, sj):
+        # Halo exchange: last H samples → next device, first H → previous.
+        left = jax.lax.ppermute(
+            sig_loc[-H:], axis_name, [(i, i + 1) for i in range(n_dev - 1)])
+        right = jax.lax.ppermute(
+            sig_loc[:H], axis_name, [(i + 1, i) for i in range(n_dev - 1)])
+        padded = jnp.concatenate([left, sig_loc, right])  # (N_loc + 2H,)
+
+        def body(carry, i):
+            slab = jax.lax.dynamic_slice(padded, (i * chunk,),
+                                         (chunk + 2 * H,))
+            W, _ = cwt_batch(slab[None], sj, dt, mother=mother, nfft=nfft,
+                             engine=engine)
+            carry = jax.lax.dynamic_update_slice(
+                carry, W[0, :, H:H + chunk], (0, i * chunk))
+            return carry, None
+
+        out0 = jnp.zeros((S, N_loc), dtype=cdt)
+        out, _ = jax.lax.scan(body, out0, jnp.arange(n_chunks))
+        return out
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(None, axis_name),
+        check_vma=False,  # ppermute halo is deliberately position-dependent
+    )
+    signal = jax.device_put(signal, NamedSharding(mesh, P(axis_name)))
+    return jax.jit(fn)(signal, scales_j)

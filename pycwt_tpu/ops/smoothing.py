@@ -26,8 +26,10 @@ import numpy as np
 
 from ..config import next_pow2
 from ..mothers import Mother
+from .fft import fft as engine_fft, ifft as engine_ifft
 
-__all__ = ["smooth", "rect_window", "scale_boxcar_same"]
+__all__ = ["smooth", "smooth_scale_sharded", "rect_window",
+           "scale_boxcar_same", "scale_boxcar_same_sharded"]
 
 
 def rect_window(width: int, normalize: bool = True) -> np.ndarray:
@@ -41,16 +43,17 @@ def rect_window(width: int, normalize: bool = True) -> np.ndarray:
     return win
 
 
-def time_gaussian_smooth(W, scales, dt: float, nfft: int):
+def time_gaussian_smooth(W, scales, dt: float, nfft: int, *, engine: str | None = None):
     """Per-scale Gaussian smoothing along the time axis via the convolution
-    theorem (reference ``mothers.py:83-96``)."""
+    theorem (reference ``mothers.py:83-96``).  The FFT pair honors the engine
+    policy (``ops/fft.py``) so WCT/MC run on backends without XLA's FFT call."""
     n = W.shape[-1]
     real_in = not jnp.iscomplexobj(W)
     k = (2 * jnp.pi) * jnp.fft.fftfreq(nfft).astype(jnp.asarray(scales).dtype)
     snorm = jnp.asarray(scales) / dt
     F = jnp.exp(-0.5 * (snorm[:, None] ** 2) * (k ** 2)[None, :])  # (S, nfft)
-    spec = jnp.fft.fft(W, n=nfft, axis=-1)
-    out = jnp.fft.ifft(F * spec, axis=-1)[..., :n]
+    spec = engine_fft(W, n=nfft, engine=engine)
+    out = engine_ifft(F * spec, engine=engine)[..., :n]
     return out.real if real_in else out
 
 
@@ -75,7 +78,97 @@ def scale_boxcar_same(T, win: np.ndarray):
     return out
 
 
-def smooth(W, dt: float, dj: float, scales, mother: Mother):
+def scale_boxcar_same_sharded(T, win: np.ndarray, axis_name: str = "scale"):
+    """Scale-axis 'same' boxcar when the scale axis (−2) is SHARDED over a
+    mesh axis — inside a ``shard_map``.
+
+    The boxcar couples each scale row to its ⌈(L−1)/2⌉ neighbors (reference
+    ``/root/reference/pycwt/mothers.py:98-102``), so sharded blocks exchange
+    halo rows with their mesh neighbors via two ``ppermute`` shifts.
+    ``ppermute`` fills pairs with no source with zeros — exactly the 'same'
+    convolution's zero-pad semantics at the global scale-grid edges, so edge
+    devices need no special casing.
+
+    ``T``: local block ``(..., S_loc, N)``.  Requires halo ≤ S_loc (one-hop
+    exchange; dj≥1/24-style grids sharded 8-way satisfy this comfortably).
+    """
+    L = len(win)
+    if L == 1:
+        return T * win[0]
+    start = (L - 1) // 2    # rows needed ABOVE (higher scale index)
+    h_up = start
+    h_dn = L - 1 - start    # rows needed BELOW (lower scale index)
+    S_loc = T.shape[-2]
+    if max(h_up, h_dn) > S_loc:
+        raise ValueError(
+            f"boxcar halo {max(h_up, h_dn)} exceeds local scale block {S_loc}; "
+            "use fewer 'scale' shards or a coarser dj"
+        )
+    n_shards = jax.lax.axis_size(axis_name)
+    ndim = T.ndim
+
+    parts = []
+    if h_dn:
+        # Each device's LAST h_dn rows go to the next device (i → i+1);
+        # device 0 receives zeros (global lower edge).
+        tail = jax.lax.slice_in_dim(T, S_loc - h_dn, S_loc, axis=ndim - 2)
+        below = jax.lax.ppermute(
+            tail, axis_name, [(i, i + 1) for i in range(n_shards - 1)])
+        parts.append(below)
+    parts.append(T)
+    if h_up:
+        # Each device's FIRST h_up rows go to the previous device (i → i−1);
+        # the last device receives zeros (global upper edge).
+        head = jax.lax.slice_in_dim(T, 0, h_up, axis=ndim - 2)
+        above = jax.lax.ppermute(
+            head, axis_name, [(i + 1, i) for i in range(n_shards - 1)])
+        parts.append(above)
+    T_ext = jnp.concatenate(parts, axis=ndim - 2)
+
+    # out[s] = Σ_j win[j] · T_global[lo + s + start − j]
+    #        = Σ_j win[j] · T_ext[h_dn + s + start − j]
+    w = jnp.asarray(win, dtype=T.real.dtype if jnp.iscomplexobj(T) else T.dtype)
+    out = None
+    for j in range(L):
+        lo = h_dn + start - j
+        term = w[j] * jax.lax.slice_in_dim(T_ext, lo, lo + S_loc, axis=ndim - 2)
+        out = term if out is None else out + term
+    return out
+
+
+def smooth_scale_sharded(W, dt: float, dj: float, scales_local, mother: Mother,
+                         *, axis_name: str = "scale",
+                         n_true_scales: int | None = None,
+                         engine: str | None = None):
+    """:func:`smooth` for use INSIDE a ``shard_map`` whose scale axis (−2) is
+    sharded on mesh axis ``axis_name``.
+
+    The time-Gaussian pass is row-local (each device smooths its own scale
+    rows with its local scale values); the scale boxcar exchanges halo rows
+    via :func:`scale_boxcar_same_sharded`.  ``n_true_scales`` masks
+    replication-padded rows (``parallel.sharded.pad_scales``) to zero *before*
+    the boxcar so they contribute exactly the zero padding the unsharded
+    'same' convolution sees.
+    """
+    if mother.deltaj0 == -1:
+        raise ValueError(
+            f"deltaj0 is not tabulated for {mother.name} with these parameters; "
+            "cannot build the scale-smoothing window (TC98 Table 2)."
+        )
+    n = W.shape[-1]
+    nfft = next_pow2(n)
+    T = time_gaussian_smooth(W, scales_local, dt, nfft, engine=engine)
+    if n_true_scales is not None:
+        S_loc = T.shape[-2]
+        global_row = jax.lax.axis_index(axis_name) * S_loc + jnp.arange(S_loc)
+        T = jnp.where((global_row < n_true_scales)[:, None], T, 0)
+    wsize = mother.deltaj0 / dj * 2
+    win = rect_window(int(round_half_even_np(wsize)), normalize=True)
+    return scale_boxcar_same_sharded(T, win, axis_name=axis_name)
+
+
+def smooth(W, dt: float, dj: float, scales, mother: Mother, *,
+           engine: str | None = None):
     """Full WCT smoothing: time Gaussian then scale boxcar.
 
     Parameters
@@ -85,6 +178,7 @@ def smooth(W, dt: float, dj: float, scales, mother: Mother):
     dj: scale spacing (sets the boxcar width ``round(deltaj0/dj·2)``).
     scales: (S,) wavelet scales.
     mother: mother wavelet providing ``deltaj0``.
+    engine: FFT engine for the time-Gaussian pass (``ops/fft.py``).
     """
     if mother.deltaj0 == -1:
         raise ValueError(
@@ -93,7 +187,7 @@ def smooth(W, dt: float, dj: float, scales, mother: Mother):
         )
     n = W.shape[-1]
     nfft = next_pow2(n)
-    T = time_gaussian_smooth(W, scales, dt, nfft)
+    T = time_gaussian_smooth(W, scales, dt, nfft, engine=engine)
     wsize = mother.deltaj0 / dj * 2
     win = rect_window(int(round_half_even_np(wsize)), normalize=True)
     return scale_boxcar_same(T, win)

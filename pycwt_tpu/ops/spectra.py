@@ -24,14 +24,15 @@ import jax
 import jax.numpy as jnp
 
 from ..mothers import Mother
+from .fft import fft_of_real_full, resolve_engine
 from .filterbank import angular_frequencies
 
 __all__ = ["global_power_parseval"]
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft"))
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "engine"))
 def global_power_parseval(signals, scales, *, dt: float, mother: Mother,
-                          nfft: int):
+                          nfft: int, engine: str | None = None):
     """Time-summed wavelet power per scale, ``(B, S)``, without an iFFT.
 
     ``signals``: (B, n0) real; ``scales``: (S,).  Equals
@@ -40,8 +41,11 @@ def global_power_parseval(signals, scales, *, dt: float, mother: Mother,
     """
     signals = jnp.asarray(signals)
     rdt = signals.dtype
-    X = jnp.fft.rfft(signals, n=nfft, axis=-1)              # (B, nfft//2+1)
     K = nfft // 2 + 1
+    if resolve_engine(engine) == "xla":
+        X = jnp.fft.rfft(signals, n=nfft, axis=-1)          # (B, nfft//2+1)
+    else:
+        X = fft_of_real_full(signals, nfft, engine=engine)[..., :K]
     half = (2 * jnp.pi / (nfft * dt)) * jnp.arange(K, dtype=rdt)
     scales = jnp.asarray(scales, dtype=rdt)
     norm2 = 2 * jnp.pi * scales / dt                         # |sqrt(s·ω₁·N)|²

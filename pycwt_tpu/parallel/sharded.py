@@ -24,8 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..mothers import Mother
-from ..ops.smoothing import smooth
-from ..stats import rednoise_batch
+from ..ops.smoothing import smooth_scale_sharded
+from ..stats import rednoise_members
 from ..transform import cwt_batch, icwt_batch
 
 __all__ = [
@@ -50,7 +50,8 @@ def pad_scales(scales: np.ndarray, parts: int) -> tuple[np.ndarray, int]:
     return scales, S
 
 
-def sharded_cwt(mesh: Mesh, signals, scales, dt, *, mother: Mother, nfft: int):
+def sharded_cwt(mesh: Mesh, signals, scales, dt, *, mother: Mother, nfft: int,
+                engine: str | None = None):
     """Batched CWT with the batch on the 'data' axis and the filter-bank rows
     on the 'scale' axis: ``W[b, s, t]`` comes out sharded ``P('data','scale',None)``.
 
@@ -63,7 +64,7 @@ def sharded_cwt(mesh: Mesh, signals, scales, dt, *, mother: Mother, nfft: int):
     signals = jax.device_put(signals, ds)
     scales = jax.device_put(scales, ss)
     fn = jax.jit(
-        functools.partial(cwt_batch, mother=mother, nfft=nfft),
+        functools.partial(cwt_batch, mother=mother, nfft=nfft, engine=engine),
         out_shardings=(
             NamedSharding(mesh, P("data", "scale", None)),
             NamedSharding(mesh, P("data", None)),
@@ -73,7 +74,8 @@ def sharded_cwt(mesh: Mesh, signals, scales, dt, *, mother: Mother, nfft: int):
 
 
 def sharded_power_pipeline(mesh: Mesh, signals, scales, dt, dj, *,
-                           mother: Mother, nfft: int, n_true_scales: int):
+                           mother: Mother, nfft: int, n_true_scales: int,
+                           engine: str | None = None):
     """The flagship end-to-end analysis step, fully sharded:
 
     normalize → CWT → power → global wavelet spectrum (time average) →
@@ -88,7 +90,7 @@ def sharded_power_pipeline(mesh: Mesh, signals, scales, dt, dj, *,
     def step(x, sj):
         mask = (jnp.arange(S_pad) < n_true_scales)[:, None]
         x = (x - x.mean(axis=-1, keepdims=True)) / x.std(axis=-1, keepdims=True)
-        W, _ = cwt_batch(x, sj, dt, mother=mother, nfft=nfft)
+        W, _ = cwt_batch(x, sj, dt, mother=mother, nfft=nfft, engine=engine)
         power = jnp.abs(W) ** 2
         global_ws = jnp.mean(power, axis=-1)                   # (B, S)
         iw = icwt_batch(W * mask, sj, dt, dj, mother=mother)   # psum over scale
@@ -114,53 +116,102 @@ def sharded_power_pipeline(mesh: Mesh, signals, scales, dt, dj, *,
     return fn(signals, scales)
 
 
-def sharded_wct(mesh: Mesh, y1, y2, scales, dt, dj, *, mother: Mother, nfft: int):
-    """Batched wavelet-coherence with the batch sharded on 'data'.
+def sharded_wct(mesh: Mesh, y1, y2, scales, dt, dj, *, mother: Mother, nfft: int,
+                engine: str | None = None, n_true_scales: int | None = None):
+    """Batched wavelet-coherence sharded over 'data' AND (when the mesh's
+    'scale' axis is >1) over 'scale' — output layout ``P('data','scale',None)``.
 
-    The scale-axis boxcar smoothing couples neighboring scale rows, so this
-    pipeline keeps scales replicated and shards the (typically much larger)
-    batch/ensemble dimension — the right layout for WCT workloads where the
-    batch is the MC ensemble.
+    With scales replicated ('scale' axis size 1) this is a plain pjit of the
+    batched core.  With scales sharded, the pipeline runs in a ``shard_map``:
+    each device computes its scale block's CWT rows and time-Gaussian
+    smoothing locally, and the scale-axis boxcar (the one op that couples
+    neighboring scale rows — reference ``mothers.py:98-102``) exchanges halo
+    rows with mesh neighbors via ``ppermute``
+    (:func:`pycwt_tpu.ops.smoothing.scale_boxcar_same_sharded`).
+
+    ``scales`` must be padded to a multiple of the 'scale' axis size
+    (:func:`pad_scales`); pass the true count as ``n_true_scales`` so padded
+    rows are masked to the zero-padding the unsharded 'same' convolution sees.
+    Rows ≥ ``n_true_scales`` of the output are garbage — slice them off.
     """
     from ..coherence import _wct_core
 
+    dt = float(dt)  # static in the inner jit — close over it
+    n_scale = mesh.shape["scale"]
     ds = NamedSharding(mesh, P("data", None))
+
+    if n_scale == 1:
+        y1 = jax.device_put(y1, ds)
+        y2 = jax.device_put(y2, ds)
+        fn = jax.jit(
+            lambda a, b, sc: _wct_core(a, b, sc, dt, mother=mother, nfft=nfft,
+                                       dj=dj, engine=engine),
+            out_shardings=NamedSharding(mesh, P("data", None, None)),
+        )
+        return fn(y1, y2, jnp.asarray(scales))
+
+    S_pad = len(scales)
+    if S_pad % n_scale:
+        raise ValueError(
+            f"{S_pad} scales not divisible by scale-axis size {n_scale}; "
+            "use pad_scales()")
+    n_true = S_pad if n_true_scales is None else n_true_scales
+
+    def shard_fn(y1l, y2l, sjl):
+        # Local shapes: y (B_loc, n0) [replicated over 'scale'], sjl (S_loc,).
+        W1, _ = cwt_batch(y1l, sjl, dt, mother=mother, nfft=nfft, engine=engine)
+        W2, _ = cwt_batch(y2l, sjl, dt, mother=mother, nfft=nfft, engine=engine)
+        s_col = sjl[:, None]
+        kw = dict(axis_name="scale", n_true_scales=n_true, engine=engine)
+        S1 = smooth_scale_sharded(jnp.abs(W1) ** 2 / s_col, dt, dj, sjl, mother, **kw)
+        S2 = smooth_scale_sharded(jnp.abs(W2) ** 2 / s_col, dt, dj, sjl, mother, **kw)
+        W12 = W1 * jnp.conj(W2)
+        S12 = smooth_scale_sharded(W12 / s_col, dt, dj, sjl, mother, **kw)
+        WCT = jnp.abs(S12) ** 2 / (S1 * S2)
+        return WCT, jnp.angle(W12), W12
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P("scale")),
+        out_specs=(P("data", "scale", None),) * 3,
+        check_vma=False,  # padded-row masking uses axis_index ('scale'-varying)
+    )
     y1 = jax.device_put(y1, ds)
     y2 = jax.device_put(y2, ds)
-    dt = float(dt)  # static in the inner jit — close over it
-    fn = jax.jit(
-        lambda a, b, sc: _wct_core(a, b, sc, dt, mother=mother, nfft=nfft, dj=dj),
-        out_shardings=NamedSharding(mesh, P("data", None, None)),
-    )
-    return fn(y1, y2, jnp.asarray(scales))
+    return jax.jit(fn)(y1, y2, jnp.asarray(scales))
 
 
 def sharded_mc_histogram(mesh: Mesh, key, scales, outsidecoi, dt, *,
                          mother: Mother, nfft: int, dj: float,
                          per_device_batch: int, n: int, al1: float, al2: float,
-                         nbins: int = 1000):
+                         nbins: int = 1000, engine: str | None = None):
     """Monte-Carlo coherence histogram sharded over the 'mc' mesh axis.
 
-    Each device generates ``per_device_batch`` AR(1) surrogate pairs (keys
-    folded by mesh position so streams are independent), runs the full
-    CWT→smooth→coherence pipeline locally, scatter-adds its histogram, and a
-    single ``psum`` over 'mc' reduces the ``(S, nbins)`` counters — one
+    Each device generates ``per_device_batch`` AR(1) surrogate pairs, runs the
+    full CWT→smooth→coherence pipeline locally, scatter-adds its histogram,
+    and a single ``psum`` over 'mc' reduces the ``(S, nbins)`` counters — one
     crossing of the chip boundary per run (SURVEY.md §3.3 TPU mapping).
+
+    Surrogate streams are keyed by *global* ensemble index
+    (``axis_index('mc')·per_device_batch + arange``) via
+    :func:`pycwt_tpu.stats.rednoise_members`, so the reduced histogram is
+    bit-identical across every mc-mesh factorization of the same total count —
+    and identical to the single-device chunked loop in
+    ``coherence.wct_significance`` (pinned in ``tests/test_sharding.py``).
     """
     from ..coherence import _wct_core
 
     S = scales.shape[0]
 
     def shard_fn(key, sj, oc):
-        idx = jax.lax.axis_index("mc")
-        k = jax.random.fold_in(key, idx)
-        k1, k2 = jax.random.split(k)
-        noise1 = rednoise_batch(k1, n, al1, 1.0, batch=per_device_batch,
-                                dtype=sj.dtype)
-        noise2 = rednoise_batch(k2, n, al2, 1.0, batch=per_device_batch,
-                                dtype=sj.dtype)
+        start = jax.lax.axis_index("mc") * per_device_batch
+        idx = start + jnp.arange(per_device_batch)
+        k1, k2 = jax.random.split(key)
+        noise1 = rednoise_members(k1, idx, n, al1, 1.0, dtype=sj.dtype)
+        noise2 = rednoise_members(k2, idx, n, al2, 1.0, dtype=sj.dtype)
         R2, _, _ = _wct_core(noise1, noise2, sj, dt, mother=mother,
-                             nfft=nfft, dj=dj)
+                             nfft=nfft, dj=dj, engine=engine)
         bins = jnp.clip(jnp.floor(R2 * nbins).astype(jnp.int32), 0, nbins - 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, R2.shape, 1)
         flat = (rows * nbins + bins).reshape(-1)

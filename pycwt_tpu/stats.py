@@ -25,7 +25,8 @@ from .mothers import as_mother
 from .ops.special import chi2_ppf
 from .utils.helpers import find
 
-__all__ = ["ar1", "ar1_spectrum", "rednoise", "rednoise_batch", "significance"]
+__all__ = ["ar1", "ar1_spectrum", "rednoise", "rednoise_batch",
+           "rednoise_members", "significance"]
 
 
 def ar1(x):
@@ -112,6 +113,29 @@ def rednoise_batch(key, shape_n: int, g, a: float = 1.0, batch: int = 1, dtype=j
         return a * jax.random.normal(key, (batch, shape_n), dtype=dtype)
     tau = int(np.ceil(-2 / np.log(np.abs(g))))
     z = a * jax.random.normal(key, (batch, shape_n + tau), dtype=dtype)
+    y = _ar1_recurrence(z, jnp.asarray(g, dtype=dtype))
+    return y[:, tau:]
+
+
+def rednoise_members(base_key, member_idx, shape_n: int, g, a: float = 1.0,
+                     dtype=jnp.float32):
+    """Batch of AR(1) surrogates where member ``i``'s stream is
+    ``fold_in(base_key, member_idx[i])`` — the stream depends only on the
+    member's *global* ensemble index, never on how the ensemble is chunked on
+    one device or sharded over a mesh.  This pins Monte-Carlo results to
+    ``(seed, mc_count)`` across every (data × scale × mc) factorization
+    (SURVEY.md §5 RNG notes).
+
+    Returns ``(len(member_idx), shape_n)``.
+    """
+    g = float(g)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(member_idx)
+    if g == 0.0:
+        return a * jax.vmap(
+            lambda k: jax.random.normal(k, (shape_n,), dtype=dtype))(keys)
+    tau = int(np.ceil(-2 / np.log(np.abs(g))))
+    z = a * jax.vmap(
+        lambda k: jax.random.normal(k, (shape_n + tau,), dtype=dtype))(keys)
     y = _ar1_recurrence(z, jnp.asarray(g, dtype=dtype))
     return y[:, tau:]
 

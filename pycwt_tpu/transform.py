@@ -24,6 +24,7 @@ import numpy as np
 
 from .config import CWTConfig, DEFAULT, round_half_even
 from .mothers import Mother, as_mother
+from .ops.fft import fft_of_real_full, ifft as engine_ifft, resolve_engine
 from .ops.filterbank import angular_frequencies, apply_filter_bank
 
 __all__ = [
@@ -95,7 +96,7 @@ def cwt_batch(
     mother: Mother,
     nfft: int,
     config: CWTConfig = DEFAULT,
-    engine: str = "xla",
+    engine: str | None = None,
 ):
     """Batched forward CWT.
 
@@ -115,6 +116,7 @@ def cwt_batch(
         callers slice ``[:, 1:nfft//2]/sqrt(nfft)`` for the reference's ``fft``
         return value (``wavelet.py:123``).
     """
+    engine = resolve_engine(engine if engine is not None else config.engine)
     rdt = config.real_dtype
     cdt = config.complex_dtype
     signals = jnp.asarray(signals, dtype=rdt)
@@ -122,36 +124,29 @@ def cwt_batch(
         raise ValueError(f"signals must be (B, n0), got {signals.shape}")
     scales = jnp.asarray(scales, dtype=rdt)
 
-    # K1: one forward FFT per signal.  Two lowerings:
+    # K1: one forward FFT per signal.  Two lowerings (ops/fft.py):
     #   - "xla":      rFFT custom call + Hermitian mirror (cheapest where the
     #                 backend's FFT works);
     #   - "mxu"/"pallas": four-step DFT as MXU matmuls (ops/mxu_dft.py) — no
     #                 FFT custom call at all.  Required on runtimes where
     #                 XLA's FFT hangs at compile (tunneled single-chip axon).
-    if engine in ("mxu", "pallas") and nfft >= 16 and nfft & (nfft - 1) == 0:
-        from .ops.mxu_dft import fft_of_real
-
-        signal_ft = fft_of_real(signals, nfft).astype(cdt)  # (B, nfft)
-    else:
-        half = jnp.fft.rfft(signals, n=nfft, axis=-1)      # (B, nfft//2+1)
-        if nfft % 2 == 0:
-            mirror = jnp.conj(half[:, -2:0:-1])
-        else:
-            mirror = jnp.conj(half[:, -1:0:-1])
-        signal_ft = jnp.concatenate([half, mirror], axis=-1).astype(cdt)
+    signal_ft = fft_of_real_full(signals, nfft, engine=engine).astype(cdt)
 
     if engine == "pallas":
         # Fused Pallas four-step path (f32, pow-2 nfft): filter bank built in
         # the kernel prologue, iFFT as MXU DFT stages (ops/pallas_fft.py).
+        # Sizes the kernel doesn't cover fall through to the MXU DFT path so
+        # the engine knob stays valid for every workload (small compat-sized
+        # transforms spend no time in K1/K2 anyway).
         from .ops.pallas_fft import fused_cwt, supported_nfft
 
-        if not supported_nfft(nfft):
-            raise ValueError(f"pallas engine needs pow-2 nfft >= 4096, got {nfft}")
-        W_full = jax.vmap(
-            lambda sf: fused_cwt(sf, scales.astype(jnp.float32), mother=mother,
-                                 nfft=nfft, dt=float(dt))
-        )(signal_ft.astype(jnp.complex64))
-        return W_full[..., : signals.shape[-1]], signal_ft
+        if supported_nfft(nfft):
+            W_full = jax.vmap(
+                lambda sf: fused_cwt(sf, scales.astype(jnp.float32), mother=mother,
+                                     nfft=nfft, dt=float(dt))
+            )(signal_ft.astype(jnp.complex64))
+            return W_full[..., : signals.shape[-1]], signal_ft
+        engine = "mxu"
 
     ftfreqs = angular_frequencies(nfft, dt, dtype=rdt)
 
@@ -161,12 +156,7 @@ def cwt_batch(
 
     # K1⁻¹: batched inverse FFT over all (B × S) rows, trim to n0
     # (reference ``wavelet.py:105-106, 123``).
-    if engine == "mxu":
-        from .ops.mxu_dft import idft
-
-        W = idft(prod)[..., : signals.shape[-1]]
-    else:
-        W = jnp.fft.ifft(prod, axis=-1)[..., : signals.shape[-1]]
+    W = engine_ifft(prod, engine=engine)[..., : signals.shape[-1]]
     return W, signal_ft
 
 

@@ -1,11 +1,19 @@
-"""Overlap-save long-signal CWT: interior parity with the global transform."""
+"""Overlap-save long-signal CWT: interior parity with the global transform,
+streaming (lax.scan) memory bounds, and the time-sharded ppermute variant."""
 import numpy as np
+import pytest
 
+import jax
 import jax.numpy as jnp
 
 import pycwt_tpu as wt
 from pycwt_tpu.config import next_pow2
-from pycwt_tpu.ops.overlap import cwt_overlap_save, halo_samples
+from pycwt_tpu.ops.overlap import (
+    cwt_overlap_save,
+    halo_samples,
+    sharded_cwt_overlap_save,
+    streamed_global_power,
+)
 from pycwt_tpu.transform import build_scale_grid, cwt_batch
 
 
@@ -42,6 +50,66 @@ def test_overlap_save_interior_matches_global():
         else:
             nyq = float(np.exp(-0.5 * (s * np.pi / dt - 6.0) ** 2))
             assert rel < max(10 * nyq, 1e-6), (s, rel, nyq)
+
+
+def test_streamed_global_power_matches_full_transform():
+    """Peak-memory-∝-chunk global spectrum == Σ_t |W|² of the streamed full
+    transform on the interior-dominated workload (VERDICT r1 item 3)."""
+    rng = np.random.default_rng(3)
+    N = 4096
+    x = rng.standard_normal(N)
+    dt = 1.0
+    grid = build_scale_grid(N, dt, dj=0.5, s0=4.0, J=6)  # all scales ≥ 4dt
+    scales = np.asarray(grid.sj)
+
+    W_blocked = np.asarray(cwt_overlap_save(x, scales, dt, mother=wt.Morlet(6),
+                                            chunk=1024))
+    p_stream = np.asarray(streamed_global_power(x, scales, dt,
+                                                mother=wt.Morlet(6), chunk=1024))
+    p_full = (np.abs(W_blocked) ** 2).sum(-1)
+    np.testing.assert_allclose(p_stream, p_full, rtol=1e-10)
+
+    # And against the global-FFT transform.  N is pow-2 here so the global
+    # path is a CIRCULAR convolution (no zero pad); blocked edges zero-pad —
+    # the ~2H edge samples differ by construction, bounding total power to a
+    # few percent.  Interior samples agree to round-off (test above).
+    W_global, _ = cwt_batch(jnp.asarray(x)[None], jnp.asarray(scales), dt,
+                            mother=wt.Morlet(6), nfft=next_pow2(N))
+    p_global = (np.abs(np.asarray(W_global[0])) ** 2).sum(-1)
+    np.testing.assert_allclose(p_stream, p_global, rtol=0.05)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_overlap_save_matches_single_device():
+    """Time-axis sharded (ppermute halo) overlap-save == the single-device
+    scan exactly — same chunking, same zero-pad edges."""
+    from pycwt_tpu.parallel import MeshSpec, make_mesh
+
+    rng = np.random.default_rng(4)
+    N = 8192
+    x = rng.standard_normal(N)
+    dt = 1.0
+    grid = build_scale_grid(N, dt, dj=0.5, s0=2.0, J=8)
+    scales = np.asarray(grid.sj)
+    mesh = make_mesh(MeshSpec(data=8))
+
+    W_sh = np.asarray(sharded_cwt_overlap_save(
+        mesh, x, scales, dt, mother=wt.Morlet(6), chunk=512))
+    W_1 = np.asarray(cwt_overlap_save(x, scales, dt, mother=wt.Morlet(6),
+                                      chunk=512))
+    assert W_sh.shape == W_1.shape
+    np.testing.assert_allclose(W_sh, W_1, rtol=0, atol=1e-12)
+
+
+def test_sharded_overlap_save_validations():
+    from pycwt_tpu.parallel import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=8))
+    x = np.zeros(1000)  # not divisible by 8 evenly into chunks
+    grid = build_scale_grid(1000, 1.0, dj=0.5, s0=2.0, J=4)
+    with pytest.raises(ValueError):
+        sharded_cwt_overlap_save(mesh, x, grid.sj, 1.0, mother=wt.Morlet(6),
+                                 chunk=512)
 
 
 def test_overlap_save_short_signal_passthrough():

@@ -92,6 +92,31 @@ def test_sharded_wct_matches_host(workload):
     assert rel_err(np.asarray(R_sh), np.asarray(R_ref)) < 1e-11
 
 
+@pytest.mark.parametrize("spec", [MeshSpec(data=2, scale=4),
+                                  MeshSpec(data=4, scale=2),
+                                  MeshSpec(scale=8)])
+def test_sharded_wct_scale_sharded_matches_host(workload, spec):
+    """Scale-SHARDED WCT (ppermute halo boxcar) == replicated result to 1e-11
+    (VERDICT r1 item 2).  The boxcar window for dj=1/8 is round(0.6/dj·2)=10
+    taps → 5/4 halo rows exchanged across scale-block boundaries."""
+    X, grid, nfft = workload
+    mesh = make_mesh(spec)
+    rng = np.random.default_rng(2)
+    Y = rng.standard_normal((8, N0))
+    from pycwt_tpu.coherence import _wct_core
+
+    sj_pad, S = pad_scales(grid.sj, spec.scale)
+    R_ref, a_ref, W12_ref = _wct_core(
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(grid.sj), DT,
+        mother=MOTHER, nfft=nfft, dj=grid.dj)
+    R_sh, a_sh, W12_sh = sharded_wct(
+        mesh, jnp.asarray(X), jnp.asarray(Y), jnp.asarray(sj_pad), DT,
+        grid.dj, mother=MOTHER, nfft=nfft, n_true_scales=S)
+    assert rel_err(np.asarray(R_sh)[:, :S], np.asarray(R_ref)) < 1e-11
+    assert rel_err(np.asarray(W12_sh)[:, :S], np.asarray(W12_ref)) < 1e-11
+    assert np.abs(np.asarray(a_sh)[:, :S] - np.asarray(a_ref)).max() < 1e-11
+
+
 def test_sharded_mc_histogram_psum(workload):
     """8-way mc-sharded histogram == sum of the 8 per-shard histograms,
     and total counts == batch × (#outside-COI samples)."""
@@ -112,3 +137,38 @@ def test_sharded_mc_histogram_psum(workload):
     total = hist.sum()
     expected = 8 * 2 * outsidecoi.sum()
     assert total == expected, (total, expected)
+
+
+def test_mc_histogram_cross_mesh_determinism(workload):
+    """Same (seed, total mc count) ⇒ bit-identical histogram for ANY
+    factorization: 8-device mc mesh, 2-device mc mesh, and the single-device
+    chunked host loop all key surrogate streams by global ensemble index
+    (VERDICT r1 item 10)."""
+    from pycwt_tpu.coherence import _mc_histogram_chunk
+
+    _, grid, nfft = workload
+    n = N0
+    coi = np.linspace(0, 20, n)
+    period = 1.0 / grid.freqs
+    outsidecoi = period[:, None] <= coi[None, :]
+    key = jax.random.PRNGKey(5)
+    kw = dict(dt=DT, mother=MOTHER, nfft=nfft, dj=grid.dj, n=n,
+              al1=0.5, al2=0.6)
+
+    h8 = np.asarray(sharded_mc_histogram(
+        make_mesh(MeshSpec(mc=8)), key, jnp.asarray(grid.sj), outsidecoi,
+        per_device_batch=2, **kw))
+    h2 = np.asarray(sharded_mc_histogram(
+        make_mesh(MeshSpec(data=4, mc=2)), key, jnp.asarray(grid.sj),
+        outsidecoi, per_device_batch=8, **kw))
+    # Host loop: two chunks of 8 starting at global indices 0 and 8.
+    oc = jnp.asarray(outsidecoi)
+    h_host = sum(
+        np.asarray(_mc_histogram_chunk(
+            key, jnp.int32(start), jnp.asarray(grid.sj), oc, DT,
+            mother=MOTHER, nfft=nfft, dj=grid.dj, batch=8, n=n,
+            al1=0.5, al2=0.6))
+        for start in (0, 8)
+    )
+    np.testing.assert_array_equal(h8, h2)
+    np.testing.assert_array_equal(h8, h_host)
