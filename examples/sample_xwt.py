@@ -34,8 +34,11 @@ def main():
     x = xwt_analysis(y1, y2, dt, boxpdf_transform=True)
     print(f"XWT: {x['W12'].shape}, max cross power {x['cross_power'].max():.3f}")
 
-    w = wct_analysis(y1, y2, dt, sig=True, mc_count=300, progress=True,
-                     cache=True)
+    # PYCWT_TPU_MC_COUNT lets tests/CI run the full script with a cheap MC
+    # ensemble (the statistics are meaningless below ~100 — demo only).
+    mc_count = int(os.environ.get("PYCWT_TPU_MC_COUNT", "300"))
+    w = wct_analysis(y1, y2, dt, sig=True, mc_count=mc_count, progress=True,
+                     cache=mc_count == 300)
     print(f"WCT: mean coherence {np.nanmean(w['WCT']):.3f}")
     u, v = phase_arrows(w["phase"])
 

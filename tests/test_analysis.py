@@ -54,8 +54,9 @@ def test_example_scripts_run():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {**os.environ, "PYCWT_TPU_PLATFORM": "cpu",
+           "PYCWT_TPU_MC_COUNT": "10",
            "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
-    for script in ["examples/sample_cwt.py"]:
+    for script in ["examples/sample_cwt.py", "examples/sample_xwt.py"]:
         r = subprocess.run(
             [sys.executable, os.path.join(repo, script)], capture_output=True,
             text=True, timeout=600, env=env, cwd=repo,
