@@ -46,15 +46,19 @@ def main():
     scales_np = np.asarray(grid.sj, np.float32)
 
     # Fused Pallas four-step engine (measured ~1.5× the XLA FFT path on v5e);
-    # fall back to XLA if the Pallas path fails to compile on this backend.
+    # fall back to the per-backend default (ops/fft.resolve_engine — the
+    # FFT-free MXU path on axon, XLA elsewhere) if it fails to compile.
     engine = "pallas"
     try:
-        import jax.numpy as _jnp
         probe = jnp.zeros((1, N0), jnp.float32)
         cwt_batch(probe, jnp.asarray(scales_np), dt, mother=mother, nfft=N0,
                   engine=engine)[0].block_until_ready()
     except Exception:
-        engine = "xla"
+        from pycwt_tpu.ops.fft import resolve_engine
+
+        engine = resolve_engine(None)
+        if engine == "pallas":
+            engine = "mxu"
 
     def pipeline(x):
         W, _ = cwt_batch(x, jnp.asarray(scales_np), dt, mother=mother,

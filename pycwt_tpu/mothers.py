@@ -85,6 +85,12 @@ class Morlet:
     def psi_ft_const(self) -> complex:
         return math.pi ** -0.25
 
+    def analytic_negligible_negative(self) -> bool:
+        """True when ψ̂(f≤0) is below f32 round-off (max envelope on the
+        negative axis is exp(−f0²/2): 1.5e-8 for f0=6), letting kernels skip
+        the negative-frequency half of the filtered spectrum."""
+        return math.exp(-0.5 * self.f0 ** 2) < 1e-7
+
     def psi(self, t):
         """ψ(t) = π^(−1/4)·exp(i f0 t − t²/2)  (reference ``mothers.py:30-32``)."""
         t = jnp.asarray(t)
@@ -162,6 +168,10 @@ class Paul:
     def psi_ft_const(self) -> complex:
         # 2^m / sqrt(m * (2m-1)!)   — np.prod(range(2, 2m)) = (2m-1)!
         return 2.0 ** self.m / math.sqrt(self.m * _double_factorial_range(2, 2 * self.m))
+
+    def analytic_negligible_negative(self) -> bool:
+        """ψ̂ is EXACTLY zero for f ≤ 0 (Heaviside factor) — fully analytic."""
+        return True
 
     def psi(self, t):
         """ψ(t) (reference ``mothers.py:124-128``), including the reference's
@@ -246,6 +256,11 @@ class DOG:
 
     def psi_ft_const(self) -> complex:
         return complex(-(1j ** self.m) / math.sqrt(math.gamma(self.m + 0.5)))
+
+    def analytic_negligible_negative(self) -> bool:
+        """DOG's envelope is symmetric in f — the negative half carries half
+        the energy; never skippable."""
+        return False
 
     def psi(self, t):
         """ψ(t) via probabilists' Hermite polynomials (reference ``mothers.py:175-191``)."""

@@ -18,12 +18,17 @@ three-way knob:
   MXU DFT under this engine.
 
 Resolution order for ``engine=None``: ``CWTConfig.engine`` (when the caller
-threads a config) → the ``PYCWT_TPU_ENGINE`` environment variable → ``"xla"``.
+threads a config) → the ``PYCWT_TPU_ENGINE`` environment variable → a
+per-backend default: ``"pallas"`` on the tunneled single-chip ``axon``
+platform (whose XLA FFT custom call has been observed both to hang at compile
+and to raise runtime UNIMPLEMENTED, *intermittently* — the FFT-free MXU/Pallas
+path is the only dependable one there), ``"xla"`` everywhere else.
 """
 from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 
 from . import mxu_dft
@@ -33,10 +38,19 @@ __all__ = ["resolve_engine", "fft", "ifft", "fft_of_real_full"]
 _VALID = ("xla", "mxu", "pallas")
 
 
+def _backend_default() -> str:
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform == "axon" else "xla"
+
+
 def resolve_engine(engine: str | None = None) -> str:
-    """Resolve an engine name: explicit arg → env ``PYCWT_TPU_ENGINE`` → xla."""
+    """Resolve an engine name: explicit arg → env ``PYCWT_TPU_ENGINE`` →
+    per-backend default (axon → pallas/mxu, else xla)."""
     if engine is None:
-        engine = os.environ.get("PYCWT_TPU_ENGINE", "xla")
+        engine = os.environ.get("PYCWT_TPU_ENGINE") or _backend_default()
     if engine not in _VALID:
         raise ValueError(f"engine must be one of {_VALID}, got {engine!r}")
     return engine

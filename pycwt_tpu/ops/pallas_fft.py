@@ -127,9 +127,15 @@ def _packed_cmatmul(Fr, Fi, xr, xi, r: int, G: int, dot):
     return unpack(pr), unpack(pi)
 
 
-def _col_dft(vr, vi, consts, R: int, A: int, precision=None):
+def _col_dft(vr, vi, consts, R: int, A: int, precision=None,
+             rows_present: int | None = None):
     """Col-DFT of a planar (R, A) tile inside VMEM via two radix substages
     (MXU-packed, see :func:`_packed_cmatmul`).
+
+    ``rows_present``: when the input is known zero beyond its first
+    ``rows_present`` rows (analytic mothers kill the negative-frequency half
+    of the filtered spectrum), pass that count — substage 1's contraction
+    depth shrinks proportionally.  Must be a multiple of r2.
 
     Returns planar (R, A) with rows c = c1 + r1·c2.
     """
@@ -142,9 +148,18 @@ def _col_dft(vr, vi, consts, R: int, A: int, precision=None):
                             precision=precision or _MATMUL_PRECISION)
 
     # substage 1: contract b1 (leading axis of the (r1, r2·A) reshape)
-    v2r = vr.reshape(r1, r2 * A)
-    v2i = vi.reshape(r1, r2 * A)
-    pr, pi = _packed_cmatmul(F1r, F1i, v2r, v2i, r1, G1, dot)
+    if rows_present is not None and rows_present < R:
+        assert G1 == 1, "row-truncated col-DFT incompatible with packing"
+        assert rows_present % r2 == 0
+        h1 = rows_present // r2
+        v2r = vr.reshape(h1, r2 * A)
+        v2i = vi.reshape(h1, r2 * A)
+        pr = dot(F1r[:, :h1], v2r) - dot(F1i[:, :h1], v2i)
+        pi = dot(F1r[:, :h1], v2i) + dot(F1i[:, :h1], v2r)
+    else:
+        v2r = vr.reshape(r1, r2 * A)
+        v2i = vi.reshape(r1, r2 * A)
+        pr, pi = _packed_cmatmul(F1r, F1i, v2r, v2i, r1, G1, dot)
 
     # twiddle w[c1, b2] on the (r1, r2, A) view
     p3r = pr.reshape(r1, r2, A)
@@ -185,7 +200,13 @@ def _read_tables(refs, r1: int, r2: int, G1: int, G2: int):
 
 def _make_kernel_a(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
                    Ablk: int, r1: int, r2: int, G1: int, G2: int,
-                   precision=None):
+                   precision=None, analytic: bool = False):
+    # Analytic mothers (Paul exactly; Morlet-f0≥6 below f32 round-off) have
+    # ψ̂(f≤0) ≈ 0, so the filtered spectrum's negative-frequency rows
+    # (b ≥ R2/2, since k = b·R1 + a) vanish: the filter tile, the X·H
+    # multiply, and substage 1's contraction all halve.
+    Rrows = R2 // 2 if analytic else R2
+
     def kernel(scale_ref, xr_ref, xi_ref, twr_ref, twi_ref,
                f1r, f1i, wr_, wi_, f2r, f2i, tr_ref, ti_ref):
         # grid is (j, s): s innermost so the X/twiddle blocks (which depend
@@ -193,13 +214,14 @@ def _make_kernel_a(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
         s = scale_ref[pl.program_id(1)]
         j = pl.program_id(0)
         consts2 = _read_tables((f1r, f1i, wr_, wi_, f2r, f2i), r1, r2, G1, G2)
-        hr, hi = _filter_tile(mother, s, R2, j * Ablk, Ablk, R1, nfft, dt,
+        hr, hi = _filter_tile(mother, s, Rrows, j * Ablk, Ablk, R1, nfft, dt,
                               jnp.float32)
         xr = xr_ref[:]
         xi = xi_ref[:]
         vr = xr * hr - xi * hi
         vi = xr * hi + xi * hr
-        zr, zi = _col_dft(vr, vi, consts2, R2, Ablk, precision)
+        zr, zi = _col_dft(vr, vi, consts2, R2, Ablk, precision,
+                          rows_present=Rrows if analytic else None)
         twr = twr_ref[:]
         twi = twi_ref[:]
         tr = zr * twr - zi * twi
@@ -284,10 +306,14 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
         return arrays, specs, r1, r2, G1, G2
 
     prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
             "fast": jax.lax.Precision.DEFAULT}[precision]
+    analytic = bool(getattr(mother, "analytic_negligible_negative",
+                            lambda: False)())
+    Rrows = R2 // 2 if analytic else R2
     tab2, tab2_specs, r1b, r2b, G1b, G2b = table_inputs(consts2)
     kern_a = _make_kernel_a(mother, nfft, dt, R1, R2, Ablk, r1b, r2b, G1b, G2b,
-                            prec)
+                            prec, analytic=analytic)
 
     grid_a = (R1 // Ablk, S)
     t_shape = jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)
@@ -295,8 +321,8 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
         num_scalar_prefetch=1,
         grid=grid_a,
         in_specs=[
-            pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
-            pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
+            pl.BlockSpec((Rrows, Ablk), lambda j, s, *refs: (0, j)),
+            pl.BlockSpec((Rrows, Ablk), lambda j, s, *refs: (0, j)),
             pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
             pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
         ] + tab2_specs,

@@ -109,6 +109,35 @@ def test_wct_significance_engine_mxu_close_to_xla():
     assert np.abs(s_x[valid] - s_m[valid]).max() <= 2e-3
 
 
+@pytest.mark.parametrize("engine", ["xla", "mxu"])
+def test_f32_parity_vs_f64_goldens(golden, engine):
+    """The f32 throughput path's error vs the f64 reference goldens stays
+    within the documented bounds (BASELINE.json parity clause; measured and
+    recorded by tools/tpu_parity_report.py).  Runs the same workloads here so
+    any regression fails CI, not just the TPU report."""
+    g = golden("cwt_nino3_morlet6")
+    cfg = CWTConfig(dtype=jnp.float32, engine=engine)
+    sig = np.asarray(g["signal"], np.float32)
+    nfft = cfg.fft_length(len(sig))
+    W, _ = cwt_batch(jnp.asarray(sig)[None], jnp.asarray(g["sj"], jnp.float32),
+                     float(g["dt"]), mother=MOTHER, nfft=nfft, config=cfg)
+    assert rel_err(np.abs(np.asarray(W[0])) ** 2, np.abs(g["W"]) ** 2) < 5e-3
+
+    gw = golden("wct_jao_jbaltic")
+    y1 = np.asarray(gw["y1"], np.float64)
+    y2 = np.asarray(gw["y2"], np.float64)
+    dtx = float(gw["dt"])
+    grid = build_scale_grid(len(y1), dtx, dj=1 / 12)
+    y1n = (y1 - y1.mean()) / y1.std()
+    y2n = (y2 - y2.mean()) / y2.std()
+    R, _, _ = _wct_core(jnp.asarray(y1n, jnp.float32)[None],
+                        jnp.asarray(y2n, jnp.float32)[None],
+                        jnp.asarray(grid.sj, jnp.float32), dtx,
+                        mother=MOTHER, nfft=cfg.fft_length(len(y1)),
+                        dj=1 / 12, engine=engine)
+    assert rel_err(np.asarray(R[0]), gw["WCT"]) < 1e-3
+
+
 def test_wct_public_api_accepts_config():
     """wct(..., config=) threads padding + engine through the compat surface."""
     rng = np.random.default_rng(11)

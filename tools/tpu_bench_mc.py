@@ -3,13 +3,18 @@
 wall-clock dominator (102 s serial CPU for the same AO/Baltic workload;
 see tests/golden/wct_sig_jao_jbaltic.npz provenance)."""
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-from pycwt_tpu.coherence import wct_significance
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
-g = np.load("tests/golden/wct_sig_jao_jbaltic.npz")
+from pycwt_tpu.coherence import wct_significance  # noqa: E402
+
+g = np.load(os.path.join(ROOT, "tests/golden/wct_sig_jao_jbaltic.npz"))
 t0 = time.perf_counter()
 sig95 = wct_significance(float(g["al1"]), float(g["al2"]), dt=float(g["dt"]),
                          dj=float(g["dj"]), s0=float(g["s0"]), J=int(g["J"]),
