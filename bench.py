@@ -45,25 +45,48 @@ def main():
     assert len(grid.sj) == S
     scales_np = np.asarray(grid.sj, np.float32)
 
-    # Fused Pallas four-step engine (measured ~1.5× the XLA FFT path on v5e);
-    # fall back to the per-backend default (ops/fft.resolve_engine — the
-    # FFT-free MXU path on axon, XLA elsewhere) if it fails to compile.
-    engine = "pallas"
+    # Engine ladder, most- to least-preferred:
+    #   1. "planar-pallas": MXU four-step forward DFT + fused Pallas kernel,
+    #      all PLANAR f32 — touches neither the XLA FFT custom call nor any
+    #      complex dtype (both observed to be intermittently UNIMPLEMENTED on
+    #      the tunneled axon runtime).  ~1.5× the XLA FFT path on v5e.
+    #   2. complex engines via cwt_batch ("pallas" → "mxu" → "xla") for
+    #      backends where planar Pallas itself doesn't compile.
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+    from pycwt_tpu.ops.pallas_fft import fused_cwt_planar
+
+    scales_j = jnp.asarray(scales_np)
+
+    def pipeline_planar(x):                  # x: (1, N0) f32
+        sr, si = fft_of_real_planar(x[0], N0)
+        wr, wi = fused_cwt_planar(sr, si, scales_j, mother=mother,
+                                  nfft=N0, dt=dt)
+        return (wr * wr + wi * wi).mean(-1)[None]   # (1, S)
+
+    def make_pipeline_complex(eng):
+        def pipeline(x):
+            W, _ = cwt_batch(x, scales_j, dt, mother=mother, nfft=N0,
+                             engine=eng)
+            return (jnp.abs(W) ** 2).mean(-1)       # (B, S)
+        return pipeline
+
+    pipeline = None
+    engine = "planar-pallas"
     try:
         probe = jnp.zeros((1, N0), jnp.float32)
-        cwt_batch(probe, jnp.asarray(scales_np), dt, mother=mother, nfft=N0,
-                  engine=engine)[0].block_until_ready()
+        np.asarray(jax.jit(pipeline_planar)(probe))
+        pipeline = pipeline_planar
     except Exception:
-        from pycwt_tpu.ops.fft import resolve_engine
-
-        engine = resolve_engine(None)
-        if engine == "pallas":
-            engine = "mxu"
-
-    def pipeline(x):
-        W, _ = cwt_batch(x, jnp.asarray(scales_np), dt, mother=mother,
-                         nfft=N0, engine=engine)
-        return (jnp.abs(W) ** 2).mean(-1)   # global wavelet spectrum (B, S)
+        for eng in ("pallas", "mxu", "xla"):
+            try:
+                cand = make_pipeline_complex(eng)
+                np.asarray(jax.jit(cand)(jnp.zeros((1, N0), jnp.float32)))
+                pipeline, engine = cand, eng
+                break
+            except Exception:
+                continue
+    if pipeline is None:
+        raise RuntimeError("no CWT engine compiles+runs on this backend")
 
     def chained(x, salt, iters):
         def body(i, carry):

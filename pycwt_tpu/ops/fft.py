@@ -39,11 +39,19 @@ _VALID = ("xla", "mxu", "pallas")
 
 
 def _backend_default() -> str:
+    # The tunneled runtime registers as plugin platform "axon" but its devices
+    # report platform "tpu", so the ACTIVE backend alone can't distinguish it
+    # from a healthy TPU runtime; the JAX_PLATFORMS=axon pin from its
+    # environment is the marker.  A process that forced another backend
+    # (tests pin cpu via jax.config, which beats the env var) still resolves
+    # by its real active platform.
     try:
         platform = jax.default_backend()
     except Exception:
         platform = "cpu"
-    return "pallas" if platform == "axon" else "xla"
+    if platform in ("tpu", "axon") and "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return "pallas"
+    return "xla"
 
 
 def resolve_engine(engine: str | None = None) -> str:

@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dft", "idft", "fft_of_real", "supported_n"]
+__all__ = ["dft", "idft", "fft_of_real", "fft_of_real_planar", "supported_n"]
 
 
 def supported_n(n: int) -> bool:
@@ -133,3 +133,22 @@ def fft_of_real(x: jax.Array, nfft: int, *,
     the MXU replacement for the rfft+mirror at ``transform.py`` K1
     (reference ``wavelet.py:91``).  Skips the imaginary-input matmuls."""
     return dft(x, nfft, sign=-1, precision=precision)
+
+
+def fft_of_real_planar(x: jax.Array, nfft: int, *,
+                       precision=jax.lax.Precision.HIGHEST):
+    """Like :func:`fft_of_real` but returns PLANAR ``(re, im)`` f32/f64 arrays
+    and touches no complex dtype anywhere.  Needed on runtimes where complex64
+    support itself flaps (the tunneled axon backend was observed to raise
+    runtime UNIMPLEMENTED for *any* complex op, intermittently) — the planar
+    four-step pipeline keeps the headline CWT path pure-real."""
+    if not supported_n(nfft):
+        raise ValueError(f"mxu dft needs pow-2 length, got {nfft}")
+    last = x.shape[-1]
+    if nfft != last:
+        if nfft < last:
+            x = x[..., :nfft]
+        else:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, nfft - last)]
+            x = jnp.pad(x, pad)
+    return _dft_planar(x, None, nfft, -1, precision)

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..mothers import Mother
 
-__all__ = ["fused_cwt", "supported_nfft"]
+__all__ = ["fused_cwt", "fused_cwt_planar", "supported_nfft"]
 
 # f32 matmul precision for the MXU DFT stages.  HIGHEST = bf16x3 (~f32-exact,
 # 3 passes); overridable for experiments via set_matmul_precision().
@@ -260,15 +260,11 @@ def _make_kernel_b(R1: int, R2: int, Cblk: int, r1: int, r2: int,
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mother", "nfft", "dt", "Ablk", "Cblk", "power_only",
-                     "interpret", "precision"),
-)
 def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
               Ablk: int = 256, Cblk: int = 256, power_only: bool = False,
               interpret: bool = False, precision: str = "highest"):
-    """Fused Pallas CWT for ONE signal spectrum.
+    """Fused Pallas CWT for ONE signal spectrum (complex-dtype convenience
+    wrapper over :func:`fused_cwt_planar`).
 
     Parameters
     ----------
@@ -283,6 +279,35 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
     Equivalent to ``jnp.fft.ifft(signal_ft · bank)`` with the bank of
     ``ops.filterbank.filter_bank`` — validated to ~1e-6 relative in f32.
     """
+    out = fused_cwt_planar(
+        jnp.real(signal_ft).astype(jnp.float32),
+        jnp.imag(signal_ft).astype(jnp.float32),
+        scales, mother=mother, nfft=nfft, dt=dt, Ablk=Ablk, Cblk=Cblk,
+        power_only=power_only, interpret=interpret, precision=precision)
+    if power_only:
+        return out
+    wr, wi = out
+    return wr + 1j * wi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mother", "nfft", "dt", "Ablk", "Cblk", "power_only",
+                     "interpret", "precision"),
+)
+def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
+                     dt: float, Ablk: int = 256, Cblk: int = 256,
+                     power_only: bool = False, interpret: bool = False,
+                     precision: str = "highest"):
+    """Fused Pallas CWT on a PLANAR ``(re, im)`` f32 spectrum — no complex
+    dtype anywhere in the computation.  With
+    :func:`pycwt_tpu.ops.mxu_dft.fft_of_real_planar` upstream this gives a
+    pure-real end-to-end CWT pipeline, immune to runtimes whose complex64
+    support is missing or flapping (observed on the tunneled axon backend).
+
+    Returns ``(wr, wi)`` each ``(S, nfft)`` f32, or ``(S,)`` power when
+    ``power_only``.
+    """
     S = scales.shape[0]
     R1, R2 = _nfft_factors(nfft)
     consts2 = _dft_tables(R2)  # for col-DFT over b (size R2)
@@ -294,8 +319,8 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
     twr = jnp.asarray(twf.real, jnp.float32)
     twi = jnp.asarray(twf.imag, jnp.float32)
 
-    xr = jnp.real(signal_ft).astype(jnp.float32).reshape(R2, R1)
-    xi = jnp.imag(signal_ft).astype(jnp.float32).reshape(R2, R1)
+    xr = sig_r.astype(jnp.float32).reshape(R2, R1)
+    xi = sig_i.astype(jnp.float32).reshape(R2, R1)
     scales_flat = scales.astype(jnp.float32)
 
     def table_inputs(consts):
@@ -371,7 +396,7 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
     if power_only:
         return outs[0].sum(axis=(1, 2))  # partial-sum tiles -> (S,)
     wr, wi = outs
-    return (wr + 1j * wi).reshape(S, nfft)
+    return wr.reshape(S, nfft), wi.reshape(S, nfft)
 
 
 def _nfft_factors(nfft: int) -> tuple[int, int]:

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 import pycwt_tpu as wt
 from pycwt_tpu.ops.filterbank import angular_frequencies, filter_bank
-from pycwt_tpu.ops.pallas_fft import fused_cwt, supported_nfft
+from pycwt_tpu.ops.pallas_fft import fused_cwt, fused_cwt_planar, supported_nfft
 
 MOTHERS = [wt.Morlet(6), wt.Paul(4), wt.DOG(2), wt.DOG(6)]
 
@@ -59,6 +59,45 @@ def test_fused_cwt_power_mode():
                              dt=1.0, Ablk=32, Cblk=32, power_only=True,
                              interpret=True))
     assert np.abs(p - p_ref).max() / p_ref.max() < 1e-5
+
+
+def test_fused_cwt_planar_matches_complex():
+    """The planar (no-complex-dtype) entry point equals the complex wrapper —
+    the headline bench path on runtimes whose complex64 support flaps."""
+    nfft = 1 << 12
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    from pycwt_tpu.ops.mxu_dft import fft_of_real, fft_of_real_planar
+
+    sr, si = fft_of_real_planar(x, nfft)
+    X = fft_of_real(x, nfft)
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(X.real), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(si), np.asarray(X.imag), atol=1e-3)
+
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(8) * 0.5), jnp.float32)
+    kw = dict(mother=wt.Morlet(6), nfft=nfft, dt=1.0, Ablk=32, Cblk=32,
+              interpret=True)
+    wr, wi = fused_cwt_planar(sr, si, scales, **kw)
+    W = np.asarray(fused_cwt(jax.lax.complex(sr, si), scales, **kw))
+    np.testing.assert_array_equal(np.asarray(wr), W.real)
+    np.testing.assert_array_equal(np.asarray(wi), W.imag)
+
+
+def test_fused_cwt_vmap_batch():
+    """vmap over signals (how cwt_batch drives the fused engine at B>1)
+    matches per-signal results exactly."""
+    nfft = 1 << 12
+    B = 3
+    rng = np.random.default_rng(6)
+    X = jnp.fft.fft(jnp.asarray(rng.standard_normal((B, nfft)), jnp.float32))
+    X = X.astype(jnp.complex64)
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(8) * 0.5), jnp.float32)
+    kw = dict(mother=wt.Morlet(6), nfft=nfft, dt=1.0, Ablk=32, Cblk=32,
+              interpret=True)
+    W_b = np.asarray(jax.vmap(lambda s: fused_cwt(s, scales, **kw))(X))
+    for b in range(B):
+        W_1 = np.asarray(fused_cwt(X[b], scales, **kw))
+        np.testing.assert_array_equal(W_b[b], W_1)
 
 
 def test_supported_nfft():
