@@ -27,8 +27,47 @@ from .mothers import Mother, as_mother
 from .stats import ar1
 from .utils.helpers import boxpdf
 
-__all__ = ["CWTAnalysis", "cwt_analysis", "xwt_analysis", "wct_analysis",
-           "phase_arrows"]
+__all__ = ["CWTAnalysis", "cwt_analysis", "global_spectrum", "xwt_analysis",
+           "wct_analysis", "phase_arrows"]
+
+
+def global_spectrum(signal, dt: float, dj: float = 1 / 12, s0: float = -1,
+                    J: int = -1, wavelet: Mother | str = "morlet",
+                    variance_scaled: bool = True,
+                    engine: str | None = None):
+    """Global wavelet spectrum WITHOUT materializing the transform.
+
+    For spectrum-only workloads this is the fast path: by Parseval the
+    time-mean wavelet power per scale needs no inverse FFT at all
+    (:func:`pycwt_tpu.ops.spectra.global_power_parseval` — one elementwise
+    pass over the (S × nfft) filter grid), versus the reference's
+    materialize-W-then-average at ``sample/sample.py:90``.  Exact when the
+    signal length is a power of two; with padding the difference is confined
+    to COI-masked edge energy.  For N ≫ HBM use
+    :func:`pycwt_tpu.ops.overlap.streamed_global_power` instead.
+
+    Returns ``(global_power, scales, freqs)`` with the reference demo's
+    variance scaling when ``variance_scaled``.
+    """
+    import jax.numpy as jnp
+
+    from .config import DEFAULT
+    from .ops.spectra import global_power_parseval
+    from .transform import build_scale_grid
+
+    mother = as_mother(wavelet)
+    signal = np.asarray(signal)
+    n0 = len(signal)
+    std = signal.std()
+    x = (signal - signal.mean()) / std
+    grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
+    nfft = DEFAULT.fft_length(n0)
+    p = global_power_parseval(jnp.asarray(x)[None], jnp.asarray(grid.sj),
+                              dt=dt, mother=mother, nfft=nfft, engine=engine)
+    gws = np.asarray(p[0]) / n0
+    if variance_scaled:
+        gws = gws * float(std) ** 2
+    return gws, grid.sj, grid.freqs
 
 
 @dataclasses.dataclass(frozen=True)

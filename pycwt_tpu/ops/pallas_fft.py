@@ -59,10 +59,14 @@ def _split_radix(R: int) -> tuple[int, int]:
     return r1, R // r1
 
 
+_SMALL_MAX = 1 << 12  # nfft ≤ 4096 → single-kernel fused path (fits VMEM)
+
+
 def supported_nfft(nfft: int) -> bool:
-    """Kernel currently supports pow-2 lengths ≥ 2^12 (block shapes stay
-    MXU/VPU-aligned below that it's not worth it anyway)."""
-    return nfft >= (1 << 12) and (1 << (nfft.bit_length() - 1)) == nfft
+    """Pow-2 lengths ≥ 2^8.  Large sizes run the two-kernel four-step
+    pipeline; sizes ≤ 2^12 run a single fused kernel whose intermediate never
+    leaves VMEM (compat-sized workloads like NINO3's nfft=512)."""
+    return nfft >= (1 << 8) and (1 << (nfft.bit_length() - 1)) == nfft
 
 
 def _blockdiag(F: np.ndarray, G: int) -> np.ndarray:
@@ -290,6 +294,98 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
     return wr + 1j * wi
 
 
+def _make_kernel_small(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
+                       consts2, consts1, inv_n: float, precision=None,
+                       analytic: bool = False):
+    """Single fused kernel for small nfft (≤ 2^12): filter build, both
+    col-DFT stages, both twiddles, all inside one VMEM-resident program per
+    scale — the intermediate T never touches HBM."""
+
+    def kernel(scale_ref, xr_ref, xi_ref, twr_ref, twi_ref,
+               a2_f1r, a2_f1i, a2_wr, a2_wi, a2_f2r, a2_f2i,
+               a1_f1r, a1_f1i, a1_wr, a1_wi, a1_f2r, a1_f2i,
+               wr_ref, wi_ref):
+        s = scale_ref[pl.program_id(0)]
+        c2 = _read_tables((a2_f1r, a2_f1i, a2_wr, a2_wi, a2_f2r, a2_f2i),
+                          consts2[3], consts2[4], consts2[5], consts2[6])
+        c1 = _read_tables((a1_f1r, a1_f1i, a1_wr, a1_wi, a1_f2r, a1_f2i),
+                          consts1[3], consts1[4], consts1[5], consts1[6])
+        Rrows = R2 // 2 if analytic else R2
+        hr, hi = _filter_tile(mother, s, Rrows, 0, R1, R1, nfft, dt,
+                              jnp.float32)
+        xr = xr_ref[:]
+        xi = xi_ref[:]
+        vr = xr * hr - xi * hi
+        vi = xr * hi + xi * hr
+        zr, zi = _col_dft(vr, vi, c2, R2, R1, precision,
+                          rows_present=Rrows if analytic else None)
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        tr = zr * twr - zi * twi          # (R2, R1), rows c, cols a
+        ti = zr * twi + zi * twr
+        mr, mi = _col_dft(tr.T, ti.T, c1, R1, R2, precision)  # (R1, R2)
+        wr_ref[0] = mr * inv_n
+        wi_ref[0] = mi * inv_n
+
+    return kernel
+
+
+def _fused_cwt_small(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
+                     dt: float, interpret: bool, precision, analytic: bool):
+    S = scales.shape[0]
+    R1, R2 = _nfft_factors(nfft)
+    consts2 = _dft_tables(R2)
+    consts1 = _dft_tables(R1)
+
+    a_idx = np.arange(R2, dtype=np.float64)
+    c_idx = np.arange(R1, dtype=np.float64)
+    twf = np.exp(2j * np.pi * np.outer(a_idx, c_idx) / nfft)  # [c(R2), a(R1)]
+    twr = jnp.asarray(twf.real, jnp.float32)
+    twi = jnp.asarray(twf.imag, jnp.float32)
+
+    Rrows = R2 // 2 if analytic else R2
+    xr = sig_r.astype(jnp.float32).reshape(R2, R1)[:Rrows]
+    xi = sig_i.astype(jnp.float32).reshape(R2, R1)[:Rrows]
+
+    def tables(consts):
+        (f1r, f1i), (wr_, wi_), (f2r, f2i) = consts[:3]
+        arrays = [jnp.asarray(a) for a in (f1r, f1i, wr_, wi_, f2r, f2i)]
+        specs = [pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim)
+                 for a in arrays]
+        return arrays, specs
+
+    tab2, tab2_specs = tables(consts2)
+    tab1, tab1_specs = tables(consts1)
+
+    kern = _make_kernel_small(mother, nfft, dt, R1, R2, consts2, consts1,
+                              1.0 / nfft, precision, analytic)
+    out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32),
+                 jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((Rrows, R1), lambda s, *refs: (0, 0)),
+            pl.BlockSpec((Rrows, R1), lambda s, *refs: (0, 0)),
+            pl.BlockSpec((R2, R1), lambda s, *refs: (0, 0)),
+            pl.BlockSpec((R2, R1), lambda s, *refs: (0, 0)),
+        ] + tab2_specs + tab1_specs,
+        out_specs=[
+            pl.BlockSpec((1, R1, R2), lambda s, *refs: (s, 0, 0)),
+            pl.BlockSpec((1, R1, R2), lambda s, *refs: (s, 0, 0)),
+        ],
+    )
+    wr, wi = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scales.astype(jnp.float32), xr, xi, twr, twi, *tab2, *tab1)
+    return wr.reshape(S, nfft), wi.reshape(S, nfft)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mother", "nfft", "dt", "Ablk", "Cblk", "power_only",
@@ -308,6 +404,22 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     Returns ``(wr, wi)`` each ``(S, nfft)`` f32, or ``(S,)`` power when
     ``power_only``.
     """
+    if not supported_nfft(nfft):
+        raise ValueError(f"fused kernel needs pow-2 nfft >= 256, got {nfft}")
+    prec_small = {"highest": jax.lax.Precision.HIGHEST,
+                  "high": jax.lax.Precision.HIGH,
+                  "fast": jax.lax.Precision.DEFAULT}[precision]
+    analytic_small = bool(getattr(mother, "analytic_negligible_negative",
+                                  lambda: False)())
+    if nfft <= _SMALL_MAX:
+        wr, wi = _fused_cwt_small(
+            sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
+            interpret=interpret, precision=prec_small,
+            analytic=analytic_small)
+        if power_only:
+            return (wr * wr + wi * wi).sum(axis=-1)
+        return wr, wi
+
     S = scales.shape[0]
     R1, R2 = _nfft_factors(nfft)
     consts2 = _dft_tables(R2)  # for col-DFT over b (size R2)

@@ -33,9 +33,11 @@ def test_fused_cwt_matches_xla(mother):
     assert np.abs(W - W_ref).max() / scale < 1e-5
 
 
-@pytest.mark.parametrize("nfft_pow", [12, 13, 14])
+@pytest.mark.parametrize("nfft_pow", [8, 9, 10, 11, 12, 13, 14])
 def test_fused_cwt_sizes(nfft_pow):
-    """Both even and odd pow-2 splits (R1 ≠ R2)."""
+    """Both even and odd pow-2 splits (R1 ≠ R2); sizes ≤ 2^12 dispatch to the
+    single-kernel small path (VMEM-resident intermediate) — NINO3's compat
+    nfft=512 included."""
     nfft = 1 << nfft_pow
     rng = np.random.default_rng(1)
     X = jnp.fft.fft(jnp.asarray(rng.standard_normal(nfft), jnp.float32))
@@ -100,8 +102,24 @@ def test_fused_cwt_vmap_batch():
         np.testing.assert_array_equal(W_b[b], W_1)
 
 
+@pytest.mark.parametrize("mother", MOTHERS, ids=lambda m: f"{m.name}")
+def test_fused_cwt_small_all_mothers(mother):
+    """Small-path kernel vs XLA for every mother (exercises both the analytic
+    half-spectrum branch and the full-spectrum DOG branch at nfft=512)."""
+    nfft = 512
+    rng = np.random.default_rng(9)
+    X = jnp.fft.fft(jnp.asarray(rng.standard_normal(nfft), jnp.float32))
+    X = X.astype(jnp.complex64)
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(6) * 0.5), jnp.float32)
+    W_ref = _ref(X, scales, mother, nfft, 1.0)
+    W = np.asarray(fused_cwt(X, scales, mother=mother, nfft=nfft, dt=1.0,
+                             interpret=True))
+    assert np.abs(W - W_ref).max() / np.abs(W_ref).max() < 1e-5
+
+
 def test_supported_nfft():
+    assert supported_nfft(1 << 8)
     assert supported_nfft(1 << 12)
     assert supported_nfft(1 << 20)
     assert not supported_nfft(1000)
-    assert not supported_nfft(1 << 10)
+    assert not supported_nfft(1 << 7)

@@ -43,3 +43,17 @@ def test_parseval_padded_close():
     # fast includes the pad region: always >= trimmed, within ~20%
     assert np.all(fast >= ref - 1e-9)
     assert np.abs(fast - ref).max() / ref.max() < 0.2
+
+
+def test_analysis_global_spectrum_matches_full_pipeline():
+    """analysis.global_spectrum (Parseval fast path, no iFFT) matches the full
+    cwt_analysis global spectrum on a pow-2 workload."""
+    import pycwt_tpu as wt
+    from pycwt_tpu.analysis import cwt_analysis, global_spectrum
+
+    rng = np.random.default_rng(8)
+    x = np.cumsum(rng.standard_normal(512))
+    gws, sj, freqs = global_spectrum(x, 1.0, dj=1 / 6)
+    full = cwt_analysis(x, 1.0, dj=1 / 6)
+    np.testing.assert_allclose(gws, full.global_power, rtol=1e-10)
+    np.testing.assert_allclose(sj, full.scales, rtol=1e-12)
