@@ -17,6 +17,7 @@ Parity targets:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -216,7 +217,8 @@ def mc_significance_from_histogram(wlc: np.ndarray, maxscale: int,
 
 def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
                      wavelet="morlet", mc_count=300, progress=True, cache=True,
-                     seed=0, mc_batch=50, config: CWTConfig = DEFAULT):
+                     seed=0, mc_batch=50, config: CWTConfig = DEFAULT,
+                     checkpoint: str | None = None):
     """Monte-Carlo WCT significance levels.
 
     Same contract and cache format as the reference (``wavelet.py:531-647``):
@@ -232,7 +234,14 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
       reference's global numpy RNG is impossible; agreement is distributional
       (tested with tolerance bands);
     * the cache key carries the same fields as the reference plus the seed and
-      count, and lives under ``get_cache_dir()``.
+      count, and lives under ``get_cache_dir()``;
+    * ``checkpoint`` (a file path) enables EXACT resume of a long MC run:
+      the accumulated (J+1 × 1000) histogram and done-count are written
+      atomically after every chunk, and a restarted call continues from the
+      next undone global ensemble index.  Because member streams are keyed by
+      global index (:func:`pycwt_tpu.stats.rednoise_members`), the resumed
+      curve is bit-identical to an uninterrupted run.  In multi-host runs
+      only process 0 touches the file; resumed state is broadcast.
     """
     mother = as_mother(wavelet)
 
@@ -293,6 +302,36 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
     wlc = np.zeros((J + 1, NBINS), dtype=np.float64)
     key = jax.random.PRNGKey(seed)
     done = 0
+
+    # Exact resume from a chunk-granular checkpoint (see docstring).
+    ckpt_meta = np.array([seed, mc_count, J, float(al1), float(al2), dj,
+                          s0, dt], dtype=np.float64)
+    if checkpoint is not None and is_coord:
+        try:
+            z = np.load(checkpoint)
+            if np.allclose(z["meta"], ckpt_meta) and z["wlc"].shape == wlc.shape:
+                wlc = np.asarray(z["wlc"], np.float64)
+                done = int(z["done"])
+                if progress:
+                    print(f"  resumed MC from checkpoint at {done}/{mc_count}")
+        except (OSError, KeyError, ValueError):
+            pass
+    if checkpoint is not None and jax.process_count() > 1:
+        from .parallel.distributed import host_broadcast_array
+
+        state = host_broadcast_array(
+            np.concatenate([[float(done)], wlc.ravel()]))
+        done = int(state[0])
+        wlc = state[1:].reshape(wlc.shape)
+
+    def _write_ckpt():
+        if checkpoint is None or not is_coord:
+            return
+        tmp = f"{checkpoint}.tmp"
+        with open(tmp, "wb") as f:  # exact name (np.savez would append .npz)
+            np.savez(f, meta=ckpt_meta, wlc=wlc, done=np.int64(done))
+        os.replace(tmp, checkpoint)
+
     while done < mc_count:
         b = min(mc_batch, mc_count - done)
         hist = _mc_histogram_chunk(
@@ -302,6 +341,7 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
         )
         wlc += np.asarray(hist, dtype=np.float64)
         done += b
+        _write_ckpt()
         if progress:
             print(f"  MC surrogates: {done}/{mc_count}", end="\r")
     if progress:

@@ -62,3 +62,56 @@ def test_mc_cache_roundtrip(sig_inputs, tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "loaded from cache" in out
     np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_mc_checkpoint_exact_resume(tmp_path):
+    """A run resumed from a mid-flight checkpoint is bit-identical to an
+    uninterrupted run (global-index member keying makes resume exact)."""
+    import numpy as np
+    from pycwt_tpu.coherence import wct_significance
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=12, progress=False,
+              cache=False, seed=4, mc_batch=4)
+    full = wct_significance(0.5, 0.6, **kw)
+
+    # Simulate an interrupted run: same params but only 8 members completed,
+    # leaving a checkpoint mid-way toward mc_count=12.
+    ck = str(tmp_path / "mc.ckpt")
+    partial_kw = dict(kw, mc_count=12)
+    # Run the first two chunks by hand through the public API with a
+    # checkpoint, then truncate the recorded progress to 8 members.
+    _ = wct_significance(0.5, 0.6, checkpoint=ck, **partial_kw)
+    z = np.load(ck)
+    assert int(z["done"]) == 12
+    # Rebuild a truly partial checkpoint (first 8 members only).
+    import jax
+    import jax.numpy as jnp
+
+    import pycwt_tpu as wt
+    from pycwt_tpu.coherence import _mc_histogram_chunk, NBINS
+    from pycwt_tpu.config import DEFAULT
+    from pycwt_tpu.transform import build_scale_grid, coi_bartlett
+
+    s0, J, dj, dt = 2.0, 7, 1 / 4, 1.0
+    ms = s0 * (2 ** (J * dj)) / dt
+    n = int(np.ceil(ms * 6))
+    grid = build_scale_grid(n, dt, dj=dj, s0=s0, J=J)
+    coi = coi_bartlett(n, dt, wt.Morlet(6))
+    period = 1.0 / grid.freqs[:, None] * np.ones((1, n))
+    outsidecoi = period <= coi[None, :]
+    key = jax.random.PRNGKey(4)
+    dtype = jnp.float64
+    wlc8 = np.zeros((J + 1, NBINS))
+    for start in (0, 4):
+        wlc8 += np.asarray(_mc_histogram_chunk(
+            key, jnp.int32(start), jnp.asarray(grid.sj, dtype),
+            jnp.asarray(outsidecoi), dt, mother=wt.Morlet(6),
+            nfft=DEFAULT.fft_length(n), dj=dj, batch=4, n=n,
+            al1=0.5, al2=0.6))
+    meta = np.asarray(z["meta"])
+    with open(ck, "wb") as f:
+        np.savez(f, meta=meta, wlc=wlc8, done=np.int64(8))
+
+    resumed = wct_significance(0.5, 0.6, checkpoint=ck, **partial_kw)
+    valid = np.isfinite(full)
+    np.testing.assert_array_equal(resumed[valid], full[valid])
