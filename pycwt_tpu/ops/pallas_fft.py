@@ -81,7 +81,7 @@ def _blockdiag(F: np.ndarray, G: int) -> np.ndarray:
     return out
 
 
-def _dft_tables(R: int, pack_to: int = 128):
+def _dft_tables(R: int, pack_to: int = 128, split: tuple[int, int] | None = None):
     """Host-side constants for one col-DFT of size R = r1·r2, b = b1·r2 + b2,
     c = c1 + r1·c2 (inverse/positive sign):
 
@@ -91,9 +91,14 @@ def _dft_tables(R: int, pack_to: int = 128):
 
     F1/F2 are emitted block-diagonally packed to contraction depth
     ``pack_to`` (see :func:`_blockdiag`); the returned G1/G2 are the packing
-    group counts.
+    group counts.  ``split`` overrides the balanced (√R, √R) radix
+    factorization for experiments (see tools/tpu_radix_experiment.py).
     """
-    r1, r2 = _split_radix(R)
+    if split is not None:
+        r1, r2 = split
+        assert r1 * r2 == R, (r1, r2, R)
+    else:
+        r1, r2 = _split_radix(R)
     a1 = np.arange(r1)
     a2 = np.arange(r2)
     F1 = np.exp(2j * np.pi * np.outer(a1, a1) / r1)

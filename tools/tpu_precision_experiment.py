@@ -46,7 +46,12 @@ def main():
     scales = jnp.asarray(grid.sj, jnp.float32)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(N0), jnp.float32)
+    print("  compiling forward DFT...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     sr0, si0 = jax.jit(lambda v: fft_of_real_planar(v, N0))(x)
+    sr0 = jax.block_until_ready(sr0)
+    print(f"  forward DFT ready ({time.perf_counter()-t0:.0f}s)",
+          file=sys.stderr, flush=True)
 
     gws_by_prec = {}
     results = {}
@@ -79,8 +84,14 @@ def main():
             out = np.asarray(f(sr0, si0, jnp.float32(salt[0] * 1e-7)))
             return time.perf_counter() - t0, out
 
+        t0 = time.perf_counter()
         run(f_lo)  # compile
+        print(f"  {prec}: lo-loop compiled+run ({time.perf_counter()-t0:.0f}s)",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
         run(f_hi)
+        print(f"  {prec}: hi-loop compiled+run ({time.perf_counter()-t0:.0f}s)",
+              file=sys.stderr, flush=True)
         per_iter = None
         for _ in range(3):
             t_lo, _ = run(f_lo)
