@@ -63,12 +63,21 @@ def _tables(n: int, sign: int, f64: bool):
     return planar(F1), planar(T), planar(F2), r1, r2
 
 
-def _dft_planar(xr, xi, n: int, sign: int, precision):
+def _dft_planar(xr, xi, n: int, sign: int, precision, half: bool = False):
     """Planar four-step DFT along the last axis of (..., n) real/imag parts.
-    ``xi`` may be None for real input (halves the first-stage matmuls)."""
+    ``xi`` may be None for real input (halves the first-stage matmuls).
+    ``half=True`` produces only the first n/2 outputs (k < n/2, natural
+    order) — since k = k1 + r1·k2 the restriction is k2 < r2/2, so stage 2's
+    matmuls and the output write halve (used by analytic-mother CWT paths
+    that never read the negative-frequency bins)."""
     f64 = xr.dtype == jnp.float64
     (F1r, F1i), (Tr, Ti), (F2r, F2i), r1, r2 = _tables(n, sign, f64)
     F1r, F1i, Tr, Ti, F2r, F2i = map(jnp.asarray, (F1r, F1i, Tr, Ti, F2r, F2i))
+    if half:
+        assert r2 % 2 == 0, "half-spectrum DFT needs even r2"
+        F2r = F2r[:, : r2 // 2]
+        F2i = F2i[:, : r2 // 2]
+    n_out = n // 2 if half else n
     dot = functools.partial(jnp.einsum, precision=precision,
                             preferred_element_type=xr.dtype)
 
@@ -89,8 +98,8 @@ def _dft_planar(xr, xi, n: int, sign: int, precision):
     wr = dot("...ab,bc->...ac", zr, F2r) - dot("...ab,bc->...ac", zi, F2i)
     wi = dot("...ab,bc->...ac", zr, F2i) + dot("...ab,bc->...ac", zi, F2r)
     # k = k1 + r1·k2 → lay out as (k2, k1) row-major
-    wr = jnp.swapaxes(wr, -1, -2).reshape(batch + (n,))
-    wi = jnp.swapaxes(wi, -1, -2).reshape(batch + (n,))
+    wr = jnp.swapaxes(wr, -1, -2).reshape(batch + (n_out,))
+    wi = jnp.swapaxes(wi, -1, -2).reshape(batch + (n_out,))
     return wr, wi
 
 
@@ -135,13 +144,18 @@ def fft_of_real(x: jax.Array, nfft: int, *,
     return dft(x, nfft, sign=-1, precision=precision)
 
 
-def fft_of_real_planar(x: jax.Array, nfft: int, *,
+def fft_of_real_planar(x: jax.Array, nfft: int, *, half: bool = False,
                        precision=jax.lax.Precision.HIGHEST):
     """Like :func:`fft_of_real` but returns PLANAR ``(re, im)`` f32/f64 arrays
     and touches no complex dtype anywhere.  Needed on runtimes where complex64
     support itself flaps (the tunneled axon backend was observed to raise
     runtime UNIMPLEMENTED for *any* complex op, intermittently) — the planar
-    four-step pipeline keeps the headline CWT path pure-real."""
+    four-step pipeline keeps the headline CWT path pure-real.
+
+    ``half=True`` returns only the positive-frequency half ``(..., nfft//2)``
+    (bins k < nfft/2) at ~2/3 the compute and half the output traffic — all an
+    analytic-mother CWT ever reads (``pallas_fft`` kernel A's half-spectrum
+    path)."""
     if not supported_n(nfft):
         raise ValueError(f"mxu dft needs pow-2 length, got {nfft}")
     last = x.shape[-1]
@@ -151,4 +165,4 @@ def fft_of_real_planar(x: jax.Array, nfft: int, *,
         else:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, nfft - last)]
             x = jnp.pad(x, pad)
-    return _dft_planar(x, None, nfft, -1, precision)
+    return _dft_planar(x, None, nfft, -1, precision, half=half)

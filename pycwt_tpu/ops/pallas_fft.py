@@ -349,8 +349,9 @@ def _fused_cwt_small(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     twi = jnp.asarray(twf.imag, jnp.float32)
 
     Rrows = R2 // 2 if analytic else R2
-    xr = sig_r.astype(jnp.float32).reshape(R2, R1)[:Rrows]
-    xi = sig_i.astype(jnp.float32).reshape(R2, R1)[:Rrows]
+    rows_in = sig_r.shape[-1] // R1      # R2, or R2/2 for half-spectrum input
+    xr = sig_r.astype(jnp.float32).reshape(rows_in, R1)[:Rrows]
+    xi = sig_i.astype(jnp.float32).reshape(rows_in, R1)[:Rrows]
 
     def tables(consts):
         (f1r, f1i), (wr_, wi_), (f2r, f2i) = consts[:3]
@@ -416,6 +417,10 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
                   "fast": jax.lax.Precision.DEFAULT}[precision]
     analytic_small = bool(getattr(mother, "analytic_negligible_negative",
                                   lambda: False)())
+    if sig_r.shape[-1] == nfft // 2 and not analytic_small:
+        raise ValueError(
+            "half-spectrum input requires an analytic mother "
+            f"({mother.name} reads negative-frequency bins)")
     if nfft <= _SMALL_MAX:
         wr, wi = _fused_cwt_small(
             sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
@@ -436,8 +441,20 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     twr = jnp.asarray(twf.real, jnp.float32)
     twi = jnp.asarray(twf.imag, jnp.float32)
 
-    xr = sig_r.astype(jnp.float32).reshape(R2, R1)
-    xi = sig_i.astype(jnp.float32).reshape(R2, R1)
+    # Accept either the full spectrum or (analytic mothers) just its
+    # positive-frequency half from fft_of_real_planar(half=True): rows
+    # b = k // R1 < R2/2 are exactly the bins kernel A reads.
+    n_in = sig_r.shape[-1]
+    if n_in == nfft:
+        rows_in = R2
+    elif n_in == nfft // 2 and analytic_small:
+        rows_in = R2 // 2
+    else:
+        raise ValueError(
+            f"spectrum length {n_in} incompatible with nfft={nfft} "
+            f"(half-spectrum input needs an analytic mother)")
+    xr = sig_r.astype(jnp.float32).reshape(rows_in, R1)
+    xi = sig_i.astype(jnp.float32).reshape(rows_in, R1)
     scales_flat = scales.astype(jnp.float32)
 
     def table_inputs(consts):

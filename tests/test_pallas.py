@@ -85,6 +85,41 @@ def test_fused_cwt_planar_matches_complex():
     np.testing.assert_array_equal(np.asarray(wi), W.imag)
 
 
+@pytest.mark.parametrize("nfft", [512, 1 << 12])
+def test_fused_cwt_half_spectrum_input(nfft):
+    """Analytic mothers: feeding only the positive-frequency half of the
+    spectrum (fft_of_real_planar(half=True)) gives the same W as the full
+    spectrum — both small- and large-kernel paths."""
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    sr, si = fft_of_real_planar(x, nfft)
+    hr, hi = fft_of_real_planar(x, nfft, half=True)
+    # Same math, fewer outputs — but the smaller stage-2 matmul may tile (and
+    # thus accumulate) differently in f32, so equality is to round-off.
+    scale_ref = float(np.abs(np.asarray(sr)).max())
+    np.testing.assert_allclose(np.asarray(hr), np.asarray(sr)[: nfft // 2],
+                               atol=1e-4 * scale_ref, rtol=0)
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(si)[: nfft // 2],
+                               atol=1e-4 * scale_ref, rtol=0)
+
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(6) * 0.5), jnp.float32)
+    kw = dict(mother=wt.Morlet(6), nfft=nfft, dt=1.0, Ablk=32, Cblk=32,
+              interpret=True)
+    w_full = fused_cwt_planar(sr, si, scales, **kw)
+    w_half = fused_cwt_planar(hr, hi, scales, **kw)
+    wmax = float(np.abs(np.asarray(w_full[0])).max())
+    np.testing.assert_allclose(np.asarray(w_half[0]), np.asarray(w_full[0]),
+                               atol=1e-4 * wmax, rtol=0)
+    np.testing.assert_allclose(np.asarray(w_half[1]), np.asarray(w_full[1]),
+                               atol=1e-4 * wmax, rtol=0)
+
+    with pytest.raises(ValueError):
+        fused_cwt_planar(hr, hi, scales, mother=wt.DOG(2), nfft=nfft, dt=1.0,
+                         Ablk=32, Cblk=32, interpret=True)
+
+
 def test_fused_cwt_vmap_batch():
     """vmap over signals (how cwt_batch drives the fused engine at B>1)
     matches per-signal results exactly."""
