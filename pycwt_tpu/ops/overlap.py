@@ -170,7 +170,7 @@ def streamed_global_power(signal, scales, dt: float, *, mother: Mother,
 def sharded_cwt_overlap_save(mesh: Mesh, signal, scales, dt: float, *,
                              mother: Mother, chunk: int = 1 << 16,
                              eps: float = 1e-7, engine: str | None = None,
-                             axis_name: str = "data"):
+                             axis_name: str = "data", auto_pad: bool = False):
     """Time-axis-SHARDED overlap-save CWT: sequence parallelism over the mesh.
 
     The input ``(N,)`` signal is sharded ``P('data')`` — each device owns a
@@ -192,8 +192,20 @@ def sharded_cwt_overlap_save(mesh: Mesh, signal, scales, dt: float, *,
     signal = jnp.asarray(signal)
     N = signal.shape[-1]
     n_dev = mesh.shape[axis_name]
+    if auto_pad:
+        # Zero-pad up to a multiple of n_dev·chunk (matches the zero-pad edge
+        # semantics of the unpadded path), compute, and trim the tail.
+        step = n_dev * chunk
+        N_pad = ((N + step - 1) // step) * step
+        if N_pad != N:
+            sig_p = jnp.pad(signal, (0, N_pad - N))
+            W = sharded_cwt_overlap_save(
+                mesh, sig_p, scales_j, dt, mother=mother, chunk=chunk,
+                eps=eps, engine=engine, axis_name=axis_name)
+            return W[:, :N]
     if N % n_dev:
-        raise ValueError(f"N={N} not divisible by {n_dev} devices")
+        raise ValueError(f"N={N} not divisible by {n_dev} devices "
+                         "(pass auto_pad=True to zero-pad)")
     N_loc = N // n_dev
     if N_loc % chunk:
         raise ValueError(f"local slab {N_loc} not a multiple of chunk {chunk}")

@@ -112,6 +112,26 @@ def test_sharded_overlap_save_validations():
                                  chunk=512)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_overlap_save_auto_pad():
+    """auto_pad zero-pads a non-divisible N and trims — equal to the
+    single-device scan on the same signal."""
+    from pycwt_tpu.parallel import MeshSpec, make_mesh
+
+    rng = np.random.default_rng(7)
+    N = 5000  # not a multiple of 8·512
+    x = rng.standard_normal(N)
+    grid = build_scale_grid(N, 1.0, dj=0.5, s0=2.0, J=6)
+    mesh = make_mesh(MeshSpec(data=8))
+    W_sh = np.asarray(sharded_cwt_overlap_save(
+        mesh, x, grid.sj, 1.0, mother=wt.Morlet(6), chunk=512, auto_pad=True))
+    assert W_sh.shape == (len(grid.sj), N)
+    W_1 = np.asarray(cwt_overlap_save(np.pad(x, (0, 8 * 512 * 2 - N)),
+                                      grid.sj, 1.0, mother=wt.Morlet(6),
+                                      chunk=512))[:, :N]
+    np.testing.assert_allclose(W_sh, W_1, rtol=0, atol=1e-12)
+
+
 def test_overlap_save_short_signal_passthrough():
     rng = np.random.default_rng(1)
     x = rng.standard_normal(500)
