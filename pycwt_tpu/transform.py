@@ -135,12 +135,12 @@ def cwt_batch(
     if engine == "pallas":
         # Fused Pallas four-step path (f32, pow-2 nfft): filter bank built in
         # the kernel prologue, iFFT as MXU DFT stages (ops/pallas_fft.py).
-        # Sizes the kernel doesn't cover fall through to the MXU DFT path so
-        # the engine knob stays valid for every workload (small compat-sized
-        # transforms spend no time in K1/K2 anyway).
+        # Sizes the kernel doesn't cover — and non-TPU backends, where Mosaic
+        # kernels only run in interpret mode — fall through to the MXU DFT
+        # path so the engine knob stays valid for every workload.
         from .ops.pallas_fft import fused_cwt, supported_nfft
 
-        if supported_nfft(nfft):
+        if supported_nfft(nfft) and jax.default_backend() in ("tpu", "axon"):
             W_full = jax.vmap(
                 lambda sf: fused_cwt(sf, scales.astype(jnp.float32), mother=mother,
                                      nfft=nfft, dt=float(dt))
