@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .config import CWTConfig, DEFAULT
 from .mothers import Mother, as_mother
-from .ops.smoothing import smooth
+from .ops.smoothing import smooth, smooth_planar_real
 from .ops.special import chi2_ppf
 from .stats import ar1, ar1_spectrum, rednoise_members
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
@@ -83,6 +83,59 @@ def _host_float():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj"))
+def _wct_core_planar(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
+                     dj: float):
+    """:func:`_wct_core` with NO complex dtype anywhere: planar forward DFT →
+    fused planar Pallas CWT → per-plane real smoothing → real coherence and
+    arctan2 phase.  The runtime-resilience path for backends whose complex64
+    support flaps (``ops/fft.py``); requires pow-2 nfft ≥ 256.
+
+    Returns ``(WCT, aWCT, (W12r, W12i))`` — the cross spectrum stays planar.
+    """
+    import jax as _jax
+
+    from .ops.mxu_dft import fft_of_real_planar, supported_n
+    from .ops.pallas_fft import _small_planar_xla, fused_cwt_planar, \
+        supported_nfft
+
+    if not supported_n(nfft):
+        raise ValueError(f"planar WCT needs a pow-2 nfft, got {nfft}")
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    n0 = y1n.shape[-1]
+    y1n = jnp.asarray(y1n, jnp.float32)
+    y2n = jnp.asarray(y2n, jnp.float32)
+    scales = jnp.asarray(scales, jnp.float32)
+
+    if supported_nfft(nfft):
+        def one_w(a, b):
+            return fused_cwt_planar(a, b, scales, mother=mother, nfft=nfft,
+                                    dt=float(dt), interpret=interpret)
+    else:  # below the fused kernel's minimum: planar XLA matmuls
+        def one_w(a, b):
+            return _small_planar_xla(a, b, scales, mother=mother, nfft=nfft,
+                                     dt=float(dt),
+                                     precision=jax.lax.Precision.HIGHEST)
+
+    def planar_w(y):
+        sr, si = fft_of_real_planar(y, nfft)
+        wr, wi = _jax.vmap(one_w)(sr, si)
+        return wr[..., :n0], wi[..., :n0]
+
+    w1r, w1i = planar_w(y1n)
+    w2r, w2i = planar_w(y2n)
+    s_col = scales[:, None]
+    S1 = smooth_planar_real((w1r ** 2 + w1i ** 2) / s_col, dt, dj, scales, mother)
+    S2 = smooth_planar_real((w2r ** 2 + w2i ** 2) / s_col, dt, dj, scales, mother)
+    w12r = w1r * w2r + w1i * w2i          # W1 · conj(W2), planar
+    w12i = w1i * w2r - w1r * w2i
+    S12r = smooth_planar_real(w12r / s_col, dt, dj, scales, mother)
+    S12i = smooth_planar_real(w12i / s_col, dt, dj, scales, mother)
+    WCT = (S12r ** 2 + S12i ** 2) / (S1 * S2)
+    aWCT = jnp.arctan2(w12i, w12r)
+    return WCT, aWCT, (w12r, w12i)
+
+
 @functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj", "engine"))
 def _wct_core(y1n, y2n, scales, dt, *, mother: Mother, nfft: int, dj: float,
               engine: str | None = None):
@@ -92,7 +145,16 @@ def _wct_core(y1n, y2n, scales, dt, *, mother: Mother, nfft: int, dj: float,
     the scale-normalized (co)spectra, coherence magnitude and phase.  Every
     FFT inside (forward CWTs and the three smoothing passes) honors the engine
     policy so WCT compiles on backends without XLA's FFT custom call.
+
+    Returns ``(WCT, aWCT, W12)``.  Under ``engine="planar"`` the whole
+    pipeline avoids complex dtypes (:func:`_wct_core_planar`) and ``W12`` is
+    the planar pair ``(W12r, W12i)`` instead of a complex array.
     """
+    from .ops.fft import resolve_engine
+
+    if resolve_engine(engine) == "planar":
+        return _wct_core_planar(y1n, y2n, scales, dt, mother=mother,
+                                nfft=nfft, dj=dj)
     W1, _ = cwt_batch(y1n, scales, dt, mother=mother, nfft=nfft, engine=engine)
     W2, _ = cwt_batch(y2n, scales, dt, mother=mother, nfft=nfft, engine=engine)
     s_col = scales[:, None]

@@ -19,10 +19,11 @@ three-way knob:
 
 Resolution order for ``engine=None``: ``CWTConfig.engine`` (when the caller
 threads a config) → the ``PYCWT_TPU_ENGINE`` environment variable → a
-per-backend default: ``"pallas"`` on the tunneled single-chip ``axon``
+per-backend default: ``"planar"`` on the tunneled single-chip ``axon``
 platform (whose XLA FFT custom call has been observed both to hang at compile
-and to raise runtime UNIMPLEMENTED, *intermittently* — the FFT-free MXU/Pallas
-path is the only dependable one there), ``"xla"`` everywhere else.
+and to raise runtime UNIMPLEMENTED, *intermittently*, alongside ALL complex64
+ops — the planar, FFT-free, complex-free paths are the only dependable ones
+there), ``"xla"`` everywhere else.
 """
 from __future__ import annotations
 
@@ -35,7 +36,7 @@ from . import mxu_dft
 
 __all__ = ["resolve_engine", "fft", "ifft", "fft_of_real_full"]
 
-_VALID = ("xla", "mxu", "pallas")
+_VALID = ("xla", "mxu", "pallas", "planar")
 
 
 def _backend_default() -> str:
@@ -50,7 +51,7 @@ def _backend_default() -> str:
     except Exception:
         platform = "cpu"
     if platform in ("tpu", "axon") and "axon" in os.environ.get("JAX_PLATFORMS", ""):
-        return "pallas"
+        return "planar"
     return "xla"
 
 
@@ -75,7 +76,7 @@ def fft(x, n: int | None = None, *, engine: str | None = None):
     """Complex FFT along the last axis (matches ``jnp.fft.fft(x, n)``)."""
     engine = resolve_engine(engine)
     n_ = x.shape[-1] if n is None else n
-    if engine in ("mxu", "pallas") and _mxu_ok(n_, x.dtype):
+    if engine in ("mxu", "pallas", "planar") and _mxu_ok(n_, x.dtype):
         return mxu_dft.dft(x, n_)
     return jnp.fft.fft(x, n=n, axis=-1)
 
@@ -84,7 +85,7 @@ def ifft(x, n: int | None = None, *, engine: str | None = None):
     """Inverse complex FFT along the last axis (matches ``jnp.fft.ifft``)."""
     engine = resolve_engine(engine)
     n_ = x.shape[-1] if n is None else n
-    if engine in ("mxu", "pallas") and _mxu_ok(n_, x.dtype):
+    if engine in ("mxu", "pallas", "planar") and _mxu_ok(n_, x.dtype):
         return mxu_dft.idft(x, n_)
     return jnp.fft.ifft(x, n=n, axis=-1)
 
@@ -98,7 +99,7 @@ def fft_of_real_full(x, nfft: int, *, engine: str | None = None):
     (the imaginary-part matmuls are skipped).
     """
     engine = resolve_engine(engine)
-    if engine in ("mxu", "pallas") and _mxu_ok(nfft, x.dtype):
+    if engine in ("mxu", "pallas", "planar") and _mxu_ok(nfft, x.dtype):
         return mxu_dft.fft_of_real(x, nfft)
     half = jnp.fft.rfft(x, n=nfft, axis=-1)
     if nfft % 2 == 0:

@@ -329,10 +329,41 @@ def _make_kernel_small(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
         tr = zr * twr - zi * twi          # (R2, R1), rows c, cols a
         ti = zr * twi + zi * twr
         mr, mi = _col_dft(tr.T, ti.T, c1, R1, R2, precision)  # (R1, R2)
-        wr_ref[0] = mr * inv_n
-        wi_ref[0] = mi * inv_n
+        # Flatten to (nfft,) rows (t = d·R2 + c, row-major) — keeps the
+        # output block's minor dimension ≥ 128-aligned for Mosaic.
+        wr_ref[0, 0] = (mr * inv_n).reshape(R1 * R2)
+        wi_ref[0, 0] = (mi * inv_n).reshape(R1 * R2)
 
     return kernel
+
+
+def _small_planar_xla(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
+                      dt: float, precision):
+    """Small-nfft planar CWT as plain XLA ops (no Pallas, no complex dtype):
+    filter the planar spectrum with the real-envelope bank, inverse-transform
+    via the planar four-step MXU DFT.  Accepts full or (analytic) half
+    spectra like the fused kernels."""
+    from .filterbank import angular_frequencies
+    from .mxu_dft import _dft_planar
+
+    n_in = sig_r.shape[-1]
+    sig_r = sig_r.astype(jnp.float32)
+    sig_i = sig_i.astype(jnp.float32)
+    if n_in < nfft:  # half spectrum (analytic mother): zero the upper half
+        pad = [(0, 0)] * (sig_r.ndim - 1) + [(0, nfft - n_in)]
+        sig_r = jnp.pad(sig_r, pad)
+        sig_i = jnp.pad(sig_i, pad)
+    ftf = angular_frequencies(nfft, dt, jnp.float32)
+    scales = scales.astype(jnp.float32)
+    norm = jnp.sqrt(2 * jnp.pi * scales / dt)
+    env = mother.psi_ft_envelope(scales[:, None] * ftf[None, :])
+    cbar = np.conj(complex(mother.psi_ft_const()))
+    br = (norm[:, None] * env) * float(cbar.real)       # (S, nfft)
+    bi = (norm[:, None] * env) * float(cbar.imag)
+    yr = sig_r[None, :] * br - sig_i[None, :] * bi
+    yi = sig_r[None, :] * bi + sig_i[None, :] * br
+    wr, wi = _dft_planar(yr, yi, nfft, +1, precision)
+    return wr / nfft, wi / nfft
 
 
 def _fused_cwt_small(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
@@ -365,8 +396,8 @@ def _fused_cwt_small(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
 
     kern = _make_kernel_small(mother, nfft, dt, R1, R2, consts2, consts1,
                               1.0 / nfft, precision, analytic)
-    out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32),
-                 jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((S, 1, nfft), jnp.float32),
+                 jax.ShapeDtypeStruct((S, 1, nfft), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S,),
@@ -377,8 +408,8 @@ def _fused_cwt_small(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
             pl.BlockSpec((R2, R1), lambda s, *refs: (0, 0)),
         ] + tab2_specs + tab1_specs,
         out_specs=[
-            pl.BlockSpec((1, R1, R2), lambda s, *refs: (s, 0, 0)),
-            pl.BlockSpec((1, R1, R2), lambda s, *refs: (s, 0, 0)),
+            pl.BlockSpec((1, 1, nfft), lambda s, *refs: (s, 0, 0)),
+            pl.BlockSpec((1, 1, nfft), lambda s, *refs: (s, 0, 0)),
         ],
     )
     wr, wi = pl.pallas_call(
@@ -422,10 +453,21 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
             "half-spectrum input requires an analytic mother "
             f"({mother.name} reads negative-frequency bins)")
     if nfft <= _SMALL_MAX:
-        wr, wi = _fused_cwt_small(
-            sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
-            interpret=interpret, precision=prec_small,
-            analytic=analytic_small)
+        if interpret:
+            # Single fused kernel (VMEM-resident intermediate).  The Mosaic
+            # compiler behind the tunneled chip rejects its small-tile
+            # reshapes (remote compile HTTP 500 with the message hidden;
+            # measured 2026-08-20), so on real hardware small sizes ride the
+            # planar XLA-matmul path below instead — still complex-free, and
+            # sub-millisecond at these sizes either way.
+            wr, wi = _fused_cwt_small(
+                sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
+                interpret=interpret, precision=prec_small,
+                analytic=analytic_small)
+        else:
+            wr, wi = _small_planar_xla(
+                sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
+                precision=prec_small)
         if power_only:
             return (wr * wr + wi * wi).sum(axis=-1)
         return wr, wi

@@ -28,8 +28,8 @@ from ..config import next_pow2
 from ..mothers import Mother
 from .fft import fft as engine_fft, ifft as engine_ifft
 
-__all__ = ["smooth", "smooth_scale_sharded", "rect_window",
-           "scale_boxcar_same", "scale_boxcar_same_sharded"]
+__all__ = ["smooth", "smooth_planar_real", "smooth_scale_sharded",
+           "rect_window", "scale_boxcar_same", "scale_boxcar_same_sharded"]
 
 
 def rect_window(width: int, normalize: bool = True) -> np.ndarray:
@@ -76,6 +76,38 @@ def scale_boxcar_same(T, win: np.ndarray):
         term = w[j] * jax.lax.slice_in_dim(Tp, lo, lo + S, axis=T.ndim - 2)
         out = term if out is None else out + term
     return out
+
+
+def smooth_planar_real(T, dt: float, dj: float, scales, mother: Mother):
+    """:func:`smooth` for a REAL ``(..., S, N)`` array with NO complex dtype
+    anywhere: the time Gaussian rides the planar MXU DFT and the scale boxcar
+    is real arithmetic.  A complex field is smoothed by calling this on each
+    plane (the smoothing kernel is real, so it commutes with Re/Im).
+
+    This is the WCT-smoothing path for runtimes whose complex64 support is
+    missing or flapping (see ``ops/fft.py``); numerically it matches
+    :func:`smooth` to planar-DFT round-off.
+    """
+    if mother.deltaj0 == -1:
+        raise ValueError(
+            f"deltaj0 is not tabulated for {mother.name} with these parameters; "
+            "cannot build the scale-smoothing window (TC98 Table 2)."
+        )
+    from .mxu_dft import _dft_planar
+
+    n = T.shape[-1]
+    nfft = next_pow2(n)
+    pad = [(0, 0)] * (T.ndim - 1) + [(0, nfft - n)]
+    Tp = jnp.pad(T, pad)
+    yr, yi = _dft_planar(Tp, None, nfft, -1, jax.lax.Precision.HIGHEST)
+    k = (2 * jnp.pi) * jnp.fft.fftfreq(nfft).astype(T.dtype)
+    snorm = jnp.asarray(scales) / dt
+    F = jnp.exp(-0.5 * (snorm[:, None] ** 2) * (k ** 2)[None, :])
+    zr, _ = _dft_planar(F * yr, F * yi, nfft, +1, jax.lax.Precision.HIGHEST)
+    sm = (zr / nfft)[..., :n]
+    wsize = mother.deltaj0 / dj * 2
+    win = rect_window(int(round_half_even_np(wsize)), normalize=True)
+    return scale_boxcar_same(sm, win)
 
 
 def scale_boxcar_same_sharded(T, win: np.ndarray, axis_name: str = "scale"):

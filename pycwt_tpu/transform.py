@@ -117,6 +117,11 @@ def cwt_batch(
         return value (``wavelet.py:123``).
     """
     engine = resolve_engine(engine if engine is not None else config.engine)
+    if engine == "planar":
+        # cwt_batch's contract returns complex W; "planar" only changes the
+        # coherence/MC pipelines (coherence._wct_core_planar) — here it means
+        # the fused Pallas lowering.
+        engine = "pallas"
     rdt = config.real_dtype
     cdt = config.complex_dtype
     signals = jnp.asarray(signals, dtype=rdt)

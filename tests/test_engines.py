@@ -109,6 +109,38 @@ def test_wct_significance_engine_mxu_close_to_xla():
     assert np.abs(s_x[valid] - s_m[valid]).max() <= 2e-3
 
 
+def test_wct_core_planar_matches_complex(pair):
+    """The fully planar WCT pipeline (no complex dtype anywhere — the
+    flap-resilient TPU path) matches the complex pipeline at f32 round-off."""
+    y1, y2 = pair
+    grid = build_scale_grid(N0, DT, dj=1 / 8)
+    kw = dict(mother=MOTHER, nfft=N0, dj=grid.dj)
+    R_c, a_c, W12_c = _wct_core(
+        jnp.asarray(y1, jnp.float32), jnp.asarray(y2, jnp.float32),
+        jnp.asarray(grid.sj, jnp.float32), DT, engine="mxu", **kw)
+    R_p, a_p, (w12r, w12i) = _wct_core(
+        jnp.asarray(y1, jnp.float32), jnp.asarray(y2, jnp.float32),
+        jnp.asarray(grid.sj, jnp.float32), DT, engine="planar", **kw)
+    assert rel_err(np.asarray(R_p), np.asarray(R_c)) < 1e-3
+    assert np.abs(np.asarray(a_p) - np.asarray(a_c)).max() < 1e-3
+    W12_p = np.asarray(w12r) + 1j * np.asarray(w12i)
+    assert rel_err(np.abs(W12_p), np.abs(np.asarray(W12_c))) < 1e-3
+
+
+def test_wct_significance_engine_planar_close_to_mxu():
+    """MC significance under the planar engine matches the complex engines
+    to within a few histogram bins (f32 pipelines with different round-off)."""
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=12, progress=False,
+              cache=False, seed=3, mc_batch=6)
+    s_m = wct_significance(0.5, 0.6, config=CWTConfig(engine="mxu",
+                                                      dtype=jnp.float32), **kw)
+    s_p = wct_significance(0.5, 0.6, config=CWTConfig(engine="planar",
+                                                      dtype=jnp.float32), **kw)
+    valid = np.isfinite(s_m)
+    assert valid.any()
+    assert np.abs(s_m[valid] - s_p[valid]).max() <= 5e-3
+
+
 @pytest.mark.parametrize("engine", ["xla", "mxu"])
 def test_f32_parity_vs_f64_goldens(golden, engine):
     """The f32 throughput path's error vs the f64 reference goldens stays
