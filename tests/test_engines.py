@@ -170,6 +170,21 @@ def test_f32_parity_vs_f64_goldens(golden, engine):
     assert rel_err(np.asarray(R[0]), gw["WCT"]) < 1e-3
 
 
+def test_wct_public_api_planar_engine():
+    """Public wct() under the planar engine (the axon default) returns finite
+    coherence in [0, ~1] and phases matching the complex engine."""
+    rng = np.random.default_rng(13)
+    y1 = np.cumsum(rng.standard_normal(200))
+    y2 = np.cumsum(rng.standard_normal(200))
+    cfgp = CWTConfig(engine="planar", dtype=jnp.float32)
+    cfgm = CWTConfig(engine="mxu", dtype=jnp.float32)
+    Wp, ap, coi, f, _ = wt.wct(y1, y2, 1.0, dj=1 / 6, sig=False, config=cfgp)
+    Wm, am, _, _, _ = wt.wct(y1, y2, 1.0, dj=1 / 6, sig=False, config=cfgm)
+    assert np.isfinite(Wp).all()
+    assert rel_err(Wp, Wm) < 1e-3
+    assert np.abs(ap - am).max() < 1e-3
+
+
 def test_wct_public_api_accepts_config():
     """wct(..., config=) threads padding + engine through the compat surface."""
     rng = np.random.default_rng(11)
