@@ -295,8 +295,10 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
     * randomness is ``jax.random`` keyed by ``seed`` — bitwise parity with the
       reference's global numpy RNG is impossible; agreement is distributional
       (tested with tolerance bands);
-    * the cache key carries the same fields as the reference plus the seed and
-      count, and lives under ``get_cache_dir()``;
+    * the disk cache lives under ``get_cache_dir()`` with the reference's
+      exact filename for the default ``(mc_count=300, seed=0)`` (interoperable
+      caches) and a ``_mc{count}_seed{seed}`` suffix otherwise, so non-default
+      runs never hit a stale default-run curve;
     * ``checkpoint`` (a file path) enables EXACT resume of a long MC run:
       the accumulated (J+1 × 1000) histogram and done-count are written
       atomically after every chunk, and a restarted call continues from the
@@ -314,12 +316,22 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
 
     if cache:
         # Reference-compatible key (wavelet.py:575-578): α's folded through
-        # round(arctanh(4α)) so nearby coefficients share an entry.
-        aa = np.round(np.arctanh(np.array([al1, al2]) * 4))
+        # round(arctanh(4α)) so nearby coefficients share an entry.  The
+        # reference's key carries neither mc_count nor a seed (it has no
+        # seed); we keep its exact filename for the default (mc_count=300,
+        # seed=0) so caches interoperate, and suffix any non-default
+        # (mc_count, seed) so a higher-count or re-seeded run can never
+        # silently return a stale default-run curve.
+        with np.errstate(invalid="ignore"):
+            # α > 0.25 puts arctanh(4α) out of domain — the reference formats
+            # the resulting nan into the filename; replicate silently.
+            aa = np.round(np.arctanh(np.array([al1, al2]) * 4))
         aa = np.abs(aa) + 0.5 * (aa < 0)
         cache_file = "wct_sig_{:0.5f}_{:0.5f}_{:0.5f}_{:0.5f}_{:d}_{}".format(
             aa[0], aa[1], dj, s0 / dt, J, mother.name
         )
+        if (mc_count, seed) != (300, 0):
+            cache_file += f"_mc{mc_count}_seed{seed}"
         cache_dir = get_cache_dir()
         cached = None
         if is_coord:
@@ -365,18 +377,31 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
     key = jax.random.PRNGKey(seed)
     done = 0
 
-    # Exact resume from a chunk-granular checkpoint (see docstring).
+    # Exact resume from a chunk-granular checkpoint (see docstring).  The
+    # meta fingerprint folds in EVERY input that shapes the histogram —
+    # including the mother wavelet and engine (as a crc32, since the meta
+    # array is numeric) — so a checkpoint from a different configuration is
+    # never silently resumed.
+    import zlib
+
+    config_tag = float(zlib.crc32(
+        f"{mother!r}|{config.engine}|{np.dtype(dtype).name}".encode()))
     ckpt_meta = np.array([seed, mc_count, J, float(al1), float(al2), dj,
-                          s0, dt], dtype=np.float64)
+                          s0, dt, config_tag], dtype=np.float64)
     if checkpoint is not None and is_coord:
         try:
             z = np.load(checkpoint)
-            if np.allclose(z["meta"], ckpt_meta) and z["wlc"].shape == wlc.shape:
+            if (z["meta"].shape == ckpt_meta.shape
+                    and np.allclose(z["meta"], ckpt_meta)
+                    and z["wlc"].shape == wlc.shape):
                 wlc = np.asarray(z["wlc"], np.float64)
                 done = int(z["done"])
                 if progress:
                     print(f"  resumed MC from checkpoint at {done}/{mc_count}")
-        except (OSError, KeyError, ValueError):
+        except Exception:
+            # Any unreadable/foreign/truncated checkpoint (BadZipFile after a
+            # crash mid-write, wrong keys, ...) ⇒ start fresh; resume is an
+            # optimization, never a correctness dependency.
             pass
     if checkpoint is not None and jax.process_count() > 1:
         from .parallel.distributed import host_broadcast_array

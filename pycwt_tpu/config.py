@@ -37,8 +37,11 @@ class CWTConfig:
         else float32".
     engine:
         FFT/kernel engine for every transform and auxiliary FFT:
-        ``"xla"`` | ``"mxu"`` | ``"pallas"`` (see ``ops/fft.py``).  ``None``
-        defers to the ``PYCWT_TPU_ENGINE`` env var, then ``"xla"``.
+        ``"xla"`` | ``"mxu"`` | ``"pallas"`` | ``"planar"`` (see
+        ``ops/fft.py``; "planar" additionally avoids complex dtypes in the
+        WCT/MC pipelines).  ``None`` defers to the ``PYCWT_TPU_ENGINE`` env
+        var, then a per-backend default ("planar" on the tunneled axon
+        platform, else "xla").
     """
 
     pad_pow2: bool = True

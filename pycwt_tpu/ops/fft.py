@@ -16,6 +16,11 @@ three-way knob:
 * ``"pallas"`` — the fused Pallas kernel applies only to the forward CWT
   (``ops/pallas_fft.py``); every auxiliary FFT (smoothing, spectra) rides the
   MXU DFT under this engine.
+* ``"planar"`` — like ``"pallas"`` but additionally avoids COMPLEX dtypes
+  wherever a pipeline permits: the WCT/Monte-Carlo core runs fully planar
+  (``coherence._wct_core_planar``, returning the cross spectrum as an
+  ``(re, im)`` pair) and the headline bench path is planar end-to-end.  The
+  default on the tunneled axon platform, whose complex64 support flaps.
 
 Resolution order for ``engine=None``: ``CWTConfig.engine`` (when the caller
 threads a config) → the ``PYCWT_TPU_ENGINE`` environment variable → a
@@ -57,7 +62,7 @@ def _backend_default() -> str:
 
 def resolve_engine(engine: str | None = None) -> str:
     """Resolve an engine name: explicit arg → env ``PYCWT_TPU_ENGINE`` →
-    per-backend default (axon → pallas/mxu, else xla)."""
+    per-backend default (axon → "planar", else "xla")."""
     if engine is None:
         engine = os.environ.get("PYCWT_TPU_ENGINE") or _backend_default()
     if engine not in _VALID:

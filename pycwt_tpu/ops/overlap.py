@@ -45,6 +45,7 @@ or the reference's).
 """
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -114,6 +115,18 @@ def cwt_overlap_save(signal, scales, dt: float, *, mother: Mother,
     S = scales.shape[0]
     cdt = jnp.complex128 if padded.dtype == jnp.float64 else jnp.complex64
 
+    run = _overlap_scan_fn(mother, float(dt), nfft, chunk, H, n_chunks, S,
+                           jnp.dtype(cdt).name, engine)
+    return run(padded, scales)[:, :N]
+
+
+@functools.lru_cache(maxsize=64)
+def _overlap_scan_fn(mother, dt, nfft, chunk, H, n_chunks, S, cdt_name,
+                     engine):
+    """Jitted chunk-scan, cached on its static configuration so repeated
+    calls with the same shapes reuse one compiled executable."""
+    cdt = jnp.dtype(cdt_name)
+
     @jax.jit
     def run(padded, scales):
         def body(carry, i):
@@ -128,7 +141,7 @@ def cwt_overlap_save(signal, scales, dt: float, *, mother: Mother,
         out, _ = jax.lax.scan(body, out0, jnp.arange(n_chunks))
         return out
 
-    return run(padded, scales)[:, :N]
+    return run
 
 
 def streamed_global_power(signal, scales, dt: float, *, mother: Mother,
@@ -147,7 +160,15 @@ def streamed_global_power(signal, scales, dt: float, *, mother: Mother,
     padded, N, n_chunks = _pad_for_chunks(signal, chunk, H)
     nfft = next_pow2(chunk + 2 * H)
     S = scales.shape[0]
-    rdt = padded.dtype
+    run = _streamed_power_fn(mother, float(dt), nfft, chunk, H, n_chunks, S,
+                             N, jnp.dtype(padded.dtype).name, engine)
+    return run(padded, scales)
+
+
+@functools.lru_cache(maxsize=64)
+def _streamed_power_fn(mother, dt, nfft, chunk, H, n_chunks, S, N, rdt_name,
+                       engine):
+    rdt = jnp.dtype(rdt_name)
 
     @jax.jit
     def run(padded, scales):
@@ -164,7 +185,7 @@ def streamed_global_power(signal, scales, dt: float, *, mother: Mother,
         acc, _ = jax.lax.scan(body, jnp.zeros((S,), rdt), jnp.arange(n_chunks))
         return acc
 
-    return run(padded, scales)
+    return run
 
 
 def sharded_cwt_overlap_save(mesh: Mesh, signal, scales, dt: float, *,
@@ -217,6 +238,20 @@ def sharded_cwt_overlap_save(mesh: Mesh, signal, scales, dt: float, *,
     S = scales_j.shape[0]
     cdt = jnp.complex128 if signal.dtype == jnp.float64 else jnp.complex64
 
+    fn = _sharded_overlap_fn(mesh, mother, float(dt), nfft, chunk, H, n_dev,
+                             n_chunks, N_loc, S, jnp.dtype(cdt).name, engine,
+                             axis_name)
+    signal = jax.device_put(signal, NamedSharding(mesh, P(axis_name)))
+    return fn(signal, scales_j)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_overlap_fn(mesh, mother, dt, nfft, chunk, H, n_dev, n_chunks,
+                        N_loc, S, cdt_name, engine, axis_name):
+    """Jitted shard_map for :func:`sharded_cwt_overlap_save`, cached on its
+    static configuration (meshes are hashable) to avoid per-call retraces."""
+    cdt = jnp.dtype(cdt_name)
+
     def shard_fn(sig_loc, sj):
         # Halo exchange: last H samples → next device, first H → previous.
         left = jax.lax.ppermute(
@@ -245,5 +280,4 @@ def sharded_cwt_overlap_save(mesh: Mesh, signal, scales, dt: float, *,
         out_specs=P(None, axis_name),
         check_vma=False,  # ppermute halo is deliberately position-dependent
     )
-    signal = jax.device_put(signal, NamedSharding(mesh, P(axis_name)))
-    return jax.jit(fn)(signal, scales_j)
+    return jax.jit(fn)

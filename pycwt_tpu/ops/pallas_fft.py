@@ -64,8 +64,11 @@ _SMALL_MAX = 1 << 12  # nfft ≤ 4096 → single-kernel fused path (fits VMEM)
 
 def supported_nfft(nfft: int) -> bool:
     """Pow-2 lengths ≥ 2^8.  Large sizes run the two-kernel four-step
-    pipeline; sizes ≤ 2^12 run a single fused kernel whose intermediate never
-    leaves VMEM (compat-sized workloads like NINO3's nfft=512)."""
+    pipeline.  Sizes ≤ 2^12 run the single fused VMEM-resident kernel in
+    interpret mode and with ``PYCWT_TPU_SMALL_KERNEL=1`` on real TPUs; by
+    default real hardware routes them through planar XLA matmuls instead
+    (the tunneled chip's Mosaic rejects the small-tile kernel — see
+    ``fused_cwt_planar``)."""
     return nfft >= (1 << 8) and (1 << (nfft.bit_length() - 1)) == nfft
 
 
@@ -453,13 +456,16 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
             "half-spectrum input requires an analytic mother "
             f"({mother.name} reads negative-frequency bins)")
     if nfft <= _SMALL_MAX:
-        if interpret:
+        import os as _os
+
+        if interpret or _os.environ.get("PYCWT_TPU_SMALL_KERNEL") == "1":
             # Single fused kernel (VMEM-resident intermediate).  The Mosaic
             # compiler behind the tunneled chip rejects its small-tile
             # reshapes (remote compile HTTP 500 with the message hidden;
-            # measured 2026-08-20), so on real hardware small sizes ride the
-            # planar XLA-matmul path below instead — still complex-free, and
-            # sub-millisecond at these sizes either way.
+            # measured 2026-08-20), so real hardware defaults to the planar
+            # XLA-matmul path below — still complex-free, sub-millisecond at
+            # these sizes — and the kernel is opt-in via
+            # PYCWT_TPU_SMALL_KERNEL=1 on runtimes whose Mosaic accepts it.
             wr, wi = _fused_cwt_small(
                 sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
                 interpret=interpret, precision=prec_small,

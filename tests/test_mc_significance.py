@@ -115,3 +115,40 @@ def test_mc_checkpoint_exact_resume(tmp_path):
     resumed = wct_significance(0.5, 0.6, checkpoint=ck, **partial_kw)
     valid = np.isfinite(full)
     np.testing.assert_array_equal(resumed[valid], full[valid])
+
+
+def test_mc_checkpoint_rejects_different_wavelet(tmp_path):
+    """A checkpoint written under one mother must NOT be resumed under
+    another (meta fingerprint folds in the wavelet)."""
+    import numpy as np
+    from pycwt_tpu.coherence import wct_significance
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=8, progress=False,
+              cache=False, seed=5, mc_batch=4)
+    ck = str(tmp_path / "mix.ckpt")
+    _ = wct_significance(0.5, 0.6, wavelet="morlet", checkpoint=ck, **kw)
+    clean_paul = wct_significance(0.5, 0.6, wavelet="paul", **kw)
+    resumed_paul = wct_significance(0.5, 0.6, wavelet="paul", checkpoint=ck,
+                                    **kw)
+    valid = np.isfinite(clean_paul)
+    # The Morlet checkpoint must be ignored: Paul-with-checkpoint == clean Paul.
+    np.testing.assert_array_equal(resumed_paul[valid], clean_paul[valid])
+
+
+def test_mc_cache_key_isolates_seed_and_count(tmp_path, monkeypatch):
+    """Non-default (mc_count, seed) must not hit the default cache entry."""
+    import numpy as np
+    from pycwt_tpu.coherence import wct_significance
+
+    monkeypatch.setenv("PYCWT_TPU_CACHE_DIR", str(tmp_path))
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, progress=False, cache=True)
+    s_a = wct_significance(0.5, 0.6, mc_count=8, seed=1, mc_batch=4, **kw)
+    s_b = wct_significance(0.5, 0.6, mc_count=16, seed=9, mc_batch=4, **kw)
+    # Different ensembles ⇒ (almost surely) different curves; identical
+    # curves would mean the second call read the first call's cache file.
+    valid = np.isfinite(s_a) & np.isfinite(s_b)
+    assert valid.any()
+    assert not np.array_equal(s_a[valid], s_b[valid])
+    # And each repeated call DOES hit its own cache entry exactly.
+    s_b2 = wct_significance(0.5, 0.6, mc_count=16, seed=9, mc_batch=4, **kw)
+    np.testing.assert_array_equal(s_b[valid], s_b2[valid])
