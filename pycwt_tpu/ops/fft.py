@@ -77,12 +77,29 @@ def _mxu_ok(n: int, dtype) -> bool:
     return mxu_dft.supported_n(n)
 
 
+def _warn_fallback(engine: str, n: int) -> None:
+    """An explicitly requested non-xla engine is about to ride the XLA FFT
+    custom call (non-pow-2 length).  On runtimes where that call is the very
+    thing the engine knob exists to avoid (tunneled axon), this would
+    otherwise fail with no diagnostic (ADVICE r2): warn once per trace."""
+    import warnings
+
+    warnings.warn(
+        f"engine={engine!r} supports only power-of-two FFT lengths; length "
+        f"{n} falls back to the XLA FFT custom call. Pad to a power of two "
+        "(CWTConfig(pad_pow2=True)) to stay on the MXU/Pallas path.",
+        stacklevel=3,
+    )
+
+
 def fft(x, n: int | None = None, *, engine: str | None = None):
     """Complex FFT along the last axis (matches ``jnp.fft.fft(x, n)``)."""
     engine = resolve_engine(engine)
     n_ = x.shape[-1] if n is None else n
-    if engine in ("mxu", "pallas", "planar") and _mxu_ok(n_, x.dtype):
-        return mxu_dft.dft(x, n_)
+    if engine in ("mxu", "pallas", "planar"):
+        if _mxu_ok(n_, x.dtype):
+            return mxu_dft.dft(x, n_)
+        _warn_fallback(engine, n_)
     return jnp.fft.fft(x, n=n, axis=-1)
 
 
@@ -90,8 +107,10 @@ def ifft(x, n: int | None = None, *, engine: str | None = None):
     """Inverse complex FFT along the last axis (matches ``jnp.fft.ifft``)."""
     engine = resolve_engine(engine)
     n_ = x.shape[-1] if n is None else n
-    if engine in ("mxu", "pallas", "planar") and _mxu_ok(n_, x.dtype):
-        return mxu_dft.idft(x, n_)
+    if engine in ("mxu", "pallas", "planar"):
+        if _mxu_ok(n_, x.dtype):
+            return mxu_dft.idft(x, n_)
+        _warn_fallback(engine, n_)
     return jnp.fft.ifft(x, n=n, axis=-1)
 
 
@@ -104,8 +123,10 @@ def fft_of_real_full(x, nfft: int, *, engine: str | None = None):
     (the imaginary-part matmuls are skipped).
     """
     engine = resolve_engine(engine)
-    if engine in ("mxu", "pallas", "planar") and _mxu_ok(nfft, x.dtype):
-        return mxu_dft.fft_of_real(x, nfft)
+    if engine in ("mxu", "pallas", "planar"):
+        if _mxu_ok(nfft, x.dtype):
+            return mxu_dft.fft_of_real(x, nfft)
+        _warn_fallback(engine, nfft)
     half = jnp.fft.rfft(x, n=nfft, axis=-1)
     if nfft % 2 == 0:
         mirror = jnp.conj(half[..., -2:0:-1])

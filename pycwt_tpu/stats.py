@@ -16,6 +16,8 @@ Parity targets (each cites its reference counterpart):
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -140,9 +142,17 @@ def rednoise_members(base_key, member_idx, shape_n: int, g, a: float = 1.0,
     return y[:, tau:]
 
 
-def rednoise(N: int, g: float, a: float = 1.0, seed: int = 0):
+def rednoise(N: int, g: float, a: float = 1.0, seed: int | None = None):
     """Single red-noise series as a numpy array (API-parity convenience over
-    :func:`rednoise_batch`; the reference version is ``helpers.py:146-173``)."""
+    :func:`rednoise_batch`; the reference version is ``helpers.py:146-173``).
+
+    Like the reference (which draws from the global numpy RNG,
+    ``helpers.py:169-171``), every call with ``seed=None`` (the default) draws
+    FRESH entropy — two successive calls return independent surrogates, so
+    reference code that builds a surrogate *pair* with two calls keeps
+    working.  Pass an explicit ``seed`` for a deterministic series."""
+    if seed is None:
+        seed = int.from_bytes(os.urandom(4), "little")
     key = jax.random.PRNGKey(seed)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     return np.asarray(rednoise_batch(key, N, g, a, batch=1, dtype=dtype)[0])

@@ -95,3 +95,17 @@ def test_rect_and_boxpdf():
     assert bx.min() >= 0 and bx.max() <= 1
     # rank transform preserves ordering
     assert np.all(np.argsort(bx) == np.argsort(x))
+
+
+def test_planar_engine_warns_on_f64():
+    """engine='planar' is f32-only: f64 (parity-mode) inputs must warn about
+    the downcast instead of silently returning f32 results (VERDICT r2)."""
+    import pytest
+    from pycwt_tpu.config import CWTConfig
+
+    rng = np.random.default_rng(5)
+    y1 = rng.standard_normal(100)
+    y2 = rng.standard_normal(100)
+    cfg = CWTConfig(engine="planar")  # x64 on (conftest) → f64 inputs
+    with pytest.warns(UserWarning, match="float32"):
+        wt.wct(y1, y2, 1.0, sig=False, config=cfg)

@@ -198,3 +198,16 @@ def test_wct_public_api_accepts_config():
     assert W1.shape == W2.shape
     np.testing.assert_allclose(f1, f2, rtol=1e-12)
     assert np.isfinite(W1).all() and np.isfinite(W2).all()
+
+
+def test_explicit_engine_warns_on_xla_fallback():
+    """An explicitly requested non-xla engine must not silently ride the XLA
+    FFT custom call for non-pow-2 lengths (ADVICE r2)."""
+    import pytest
+    from pycwt_tpu.ops import fft as efft
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(100))
+    with pytest.warns(UserWarning, match="power-of-two"):
+        efft.fft(x, engine="mxu")
+    with pytest.warns(UserWarning, match="power-of-two"):
+        efft.ifft(x.astype(jnp.complex128), engine="planar")

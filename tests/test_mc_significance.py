@@ -135,6 +135,56 @@ def test_mc_checkpoint_rejects_different_wavelet(tmp_path):
     np.testing.assert_array_equal(resumed_paul[valid], clean_paul[valid])
 
 
+def test_mc_checkpoint_extends_mc_count(tmp_path):
+    """Re-running with a LARGER mc_count against an existing checkpoint must
+    resume from the completed members (global-index keying makes the
+    extension exact), not silently start from zero (ADVICE r2)."""
+    import numpy as np
+    from pycwt_tpu.coherence import wct_significance
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, progress=False, cache=False,
+              seed=6, mc_batch=4)
+    full12 = wct_significance(0.5, 0.6, mc_count=12, **kw)
+    ck = str(tmp_path / "ext.ckpt")
+    _ = wct_significance(0.5, 0.6, mc_count=8, checkpoint=ck, **kw)
+    assert int(np.load(ck)["done"]) == 8
+    extended = wct_significance(0.5, 0.6, mc_count=12, checkpoint=ck, **kw)
+    assert int(np.load(ck)["done"]) == 12
+    valid = np.isfinite(full12)
+    np.testing.assert_array_equal(extended[valid], full12[valid])
+
+
+def test_mc_fused_dispatch_matches_chunked(tmp_path):
+    """The no-checkpoint fast path (all full chunks in one device dispatch)
+    is bit-identical to the per-chunk dispatch loop."""
+    import numpy as np
+    from pycwt_tpu.coherence import wct_significance
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=12, progress=False,
+              cache=False, seed=4, mc_batch=4)
+    fused = wct_significance(0.5, 0.6, **kw)          # 3 chunks, 1 dispatch
+    chunked = wct_significance(0.5, 0.6, checkpoint=str(tmp_path / "c.ckpt"),
+                               **kw)                  # 3 dispatches
+    valid = np.isfinite(fused)
+    np.testing.assert_array_equal(fused[valid], chunked[valid])
+
+
+def test_mc_cache_key_isolates_config(tmp_path, monkeypatch):
+    """A non-default CWTConfig gets its own cache entry — an engine='mxu'
+    curve must never be served from the default-config file (ADVICE r2)."""
+    from pycwt_tpu.coherence import wct_significance
+    from pycwt_tpu.config import CWTConfig
+
+    monkeypatch.setenv("PYCWT_TPU_CACHE_DIR", str(tmp_path))
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=8, seed=1, mc_batch=4,
+              progress=False, cache=True)
+    _ = wct_significance(0.5, 0.6, **kw)
+    _ = wct_significance(0.5, 0.6, config=CWTConfig(engine="mxu"), **kw)
+    names = sorted(f.name for f in tmp_path.iterdir())
+    assert len(names) == 2, names
+    assert any("_cfgmxu-" in n for n in names), names
+
+
 def test_mc_cache_key_isolates_seed_and_count(tmp_path, monkeypatch):
     """Non-default (mc_count, seed) must not hit the default cache entry."""
     import numpy as np

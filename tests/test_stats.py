@@ -150,3 +150,15 @@ def test_significance_mode2_requires_tabulated_cdelta(golden):
     with pytest.raises(ValueError):
         wt.significance(1.0, 0.25, g["sj"], 2, alpha=0.5, dof=[2, 8],
                         wavelet=wt.Morlet(5))  # f0≠6 → cdelta sentinel −1
+
+
+def test_rednoise_fresh_entropy_by_default():
+    """seed=None (default) draws fresh entropy each call — two successive
+    calls give INDEPENDENT surrogates (reference semantics: global numpy RNG,
+    helpers.py:169-171); determinism is opt-in via an explicit seed."""
+    a = wt.rednoise(64, 0.5)
+    b = wt.rednoise(64, 0.5)
+    assert not np.array_equal(a, b)
+    c = wt.rednoise(64, 0.5, seed=42)
+    d = wt.rednoise(64, 0.5, seed=42)
+    np.testing.assert_array_equal(c, d)
