@@ -162,3 +162,29 @@ def test_rednoise_fresh_entropy_by_default():
     c = wt.rednoise(64, 0.5, seed=42)
     d = wt.rednoise(64, 0.5, seed=42)
     np.testing.assert_array_equal(c, d)
+
+
+def test_chi2_ppf_matches_tc98_z_table():
+    """TC98 Table 3 (docs/comments.md): cross-wavelet significance levels
+    from eqs. (30)-(31).
+
+    For two independent chi-square variates the cross power follows the
+    sqrt-product distribution: complex wavelet (2 DOF) Z has survival
+    P(Z>z) = z*K1(z); real wavelet (1 DOF) |W1*W2| has PDF K0(z)/pi*2.
+    The published table values must satisfy those closed forms, and the
+    Grinsted et al. (2004) convention -- chi2_ppf at the 86.46 % level
+    reproduces Z2(95 %) = 3.999 -- must hold for our native PPF."""
+    import scipy.integrate
+    import scipy.special
+
+    table = {0.10: (1.595, 3.214), 0.05: (2.182, 3.999), 0.01: (3.604, 5.767)}
+    for alpha, (z1, z2) in table.items():
+        # complex wavelet, 2 DOF: P(Z > z) = z K1(z)
+        assert abs(z2 * scipy.special.k1(z2) - alpha) < 2e-4
+        # real wavelet, 1 DOF: P(|W1 W2| > z) = (2/pi) ∫_z^∞ K0
+        tail, _ = scipy.integrate.quad(scipy.special.k0, z1, np.inf)
+        assert abs(2 / np.pi * tail - alpha) < 2e-4
+    # Grinsted's Z2 = 3.999 convention via our native chi-square PPF
+    # (the xwt docstring's "use 86.46 % confidence" note).
+    z = float(np.asarray(chi2_ppf(jnp.asarray(0.8646, jnp.float64), 2)))
+    assert abs(z - 3.999) < 2e-3
