@@ -31,6 +31,40 @@ import jax.numpy as jnp
 
 TARGET = 1e9  # sample-scales/s/chip north-star target (BASELINE.json)
 
+# v5e MXU peak (bf16 FLOP/s) for the roofline row in BASELINE.md.
+V5E_BF16_PEAK = 197e12
+
+
+def _col_dft_flops(R: int, A: int, rows_present: int | None = None) -> float:
+    """MXU FLOPs of one planar in-VMEM col-DFT of size R over A columns
+    (two balanced radix substages of 4 real matmuls each + twiddle)."""
+    p = R.bit_length() - 1
+    r1 = 1 << (p // 2)
+    r2 = R // r1
+    h1 = (rows_present // r2) if rows_present else r1
+    sub1 = 4 * 2 * r1 * h1 * (r2 * A)     # (r1,h1)@(h1, r2*A) ×4
+    sub2 = 4 * 2 * r2 * r2 * (r1 * A)     # (r2,r2)@(r2, r1*A) ×4
+    return sub1 + sub2 + 6 * R * A
+
+
+def planar_pipeline_flops(N: int, S: int, analytic: bool) -> float:
+    """f32-equivalent FLOPs of one planar CWT transform (forward half DFT +
+    S × fused two-kernel four-step inverse).  Used for the roofline /
+    MFU accounting (VERDICT r2 #7); multiply by the precision pass count
+    (bf16x3 → 3) for MXU issue rate."""
+    p = N.bit_length() - 1
+    R1 = 1 << (p // 2)
+    R2 = N // R1
+    # forward four-step (real input, half output when analytic)
+    fr1 = 1 << ((p + 1) // 2)
+    fr2 = N // fr1
+    out_cols = fr2 // 2 if analytic else fr2
+    fwd = 2 * 2 * fr1 * fr1 * fr2 + 4 * 2 * fr1 * fr2 * out_cols + 6 * N
+    rows = R2 // 2 if analytic else R2
+    kernel_a = _col_dft_flops(R2, R1, rows_present=rows) + 12 * R1 * R2
+    kernel_b = _col_dft_flops(R1, R2)
+    return fwd + S * (kernel_a + kernel_b)
+
 
 def main():
     import pycwt_tpu as wt
@@ -112,6 +146,9 @@ def main():
     f_lo = jax.jit(lambda x, s: chained(x, s, n_lo))
     f_hi = jax.jit(lambda x, s: chained(x, s, n_hi))
 
+    from pycwt_tpu.utils.profiling import PhaseTimer
+
+    timer = PhaseTimer()
     salt_box = [0]
 
     def run(f):
@@ -124,16 +161,18 @@ def main():
         out = np.asarray(f(x, jnp.float32(salt_box[0] * 1e-7)))
         return time.perf_counter() - t0, out
 
-    run(f_lo)   # warm/compile
-    run(f_hi)
+    with timer.phase("compile+warm"):
+        run(f_lo)   # warm/compile
+        run(f_hi)
 
     # One timed call per loop count; retry the pair until the slope lands in
     # a physically-sane window (the runtime occasionally injects multi-second
     # stalls or returns early — both are detectable for this workload).
     per_iter = None
     for _ in range(4):
-        t_lo, _ = run(f_lo)
-        t_hi, out_hi = run(f_hi)
+        with timer.phase("measure", samples=B * N0 * (n_lo + n_hi), scales=S):
+            t_lo, _ = run(f_lo)
+            t_hi, out_hi = run(f_hi)
         cand = (t_hi - t_lo) / (n_hi - n_lo)
         if 1e-3 <= cand <= 0.2:  # 1 ms .. 200 ms per 64×1M-pt transform
             per_iter = cand
@@ -144,11 +183,27 @@ def main():
         per_iter = t_hi / n_hi
     assert np.isfinite(np.asarray(out_hi)).all()
     sample_scales_per_s = B * N0 * S / per_iter
+
+    # Roofline / MFU accounting (planar path only — the complex-engine
+    # fallbacks have different FLOP shapes; report null there).
+    roofline = {}
+    if engine == "planar-pallas":
+        flops = planar_pipeline_flops(N0, S, half)
+        achieved = flops / per_iter
+        issue = achieved * 3  # bf16x3 (Precision.HIGHEST) default tier
+        roofline = {
+            "flops_per_transform": flops,
+            "achieved_tflops_f32equiv": achieved / 1e12,
+            "mxu_issue_tflops_bf16": issue / 1e12,
+            "pct_mxu_peak_v5e": 100.0 * issue / V5E_BF16_PEAK,
+        }
     print(json.dumps({
         "metric": "sample_scales_per_s_per_chip",
         "value": sample_scales_per_s,
         "unit": f"sample-scales/s (1M-pt Morlet-6, 64 scales, f32, {engine} engine)",
         "vs_baseline": sample_scales_per_s / TARGET,
+        "phases": timer.report(),
+        **roofline,
     }))
 
 

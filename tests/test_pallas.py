@@ -158,3 +158,24 @@ def test_supported_nfft():
     assert supported_nfft(1 << 20)
     assert not supported_nfft(1000)
     assert not supported_nfft(1 << 7)
+
+
+def test_fused_cwt_planar_bf16x2_tier():
+    """precision='high' (hand-rolled 2-pass compensated bf16 matmul,
+    _dot_bf16x2) sits between 'fast' and 'highest': explicit bf16 casts make
+    its rounding visible even in interpret mode — pin the bound."""
+    nfft = 1 << 13
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+
+    sr, si = fft_of_real_planar(x, nfft)
+    scales = jnp.asarray([4.0, 16.0, 64.0, 256.0], jnp.float32)
+    X = jnp.fft.fft(x.astype(jnp.complex64))
+    W_ref = _ref(X.astype(jnp.complex64), scales, wt.Morlet(6), nfft, 1.0)
+    wr, wi = fused_cwt_planar(sr, si, scales, mother=wt.Morlet(6), nfft=nfft,
+                              dt=1.0, Ablk=32, Cblk=32, interpret=True,
+                              precision="high")
+    W = np.asarray(wr) + 1j * np.asarray(wi)
+    err = np.abs(W - W_ref).max() / np.abs(W_ref).max()
+    assert err < 2e-4, err   # ~1e-5..1e-4 expected; far below fast's ~5e-3
