@@ -63,12 +63,10 @@ _SMALL_MAX = 1 << 12  # nfft ≤ 4096 → single-kernel fused path (fits VMEM)
 
 
 def supported_nfft(nfft: int) -> bool:
-    """Pow-2 lengths ≥ 2^8.  Large sizes run the two-kernel four-step
-    pipeline.  Sizes ≤ 2^12 run the single fused VMEM-resident kernel in
-    interpret mode and with ``PYCWT_TPU_SMALL_KERNEL=1`` on real TPUs; by
-    default real hardware routes them through planar XLA matmuls instead
-    (the tunneled chip's Mosaic rejects the small-tile kernel — see
-    ``fused_cwt_planar``)."""
+    """Pow-2 lengths ≥ 2^8.  Sizes > 2^12 run the two-kernel four-step
+    pipeline; sizes ≤ 2^12 run the single direct-DFT matmul kernel
+    (:func:`_make_kernel_direct`), whose tiles are all (8,128)-granular so
+    real Mosaic compiles it (unlike round 2's reshape-heavy small kernel)."""
     return nfft >= (1 << 8) and (1 << (nfft.bit_length() - 1)) == nfft
 
 
@@ -332,40 +330,48 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
     return wr + 1j * wi
 
 
-def _make_kernel_small(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
-                       consts2, consts1, inv_n: float, precision=None,
-                       analytic: bool = False):
-    """Single fused kernel for small nfft (≤ 2^12): filter build, both
-    col-DFT stages, both twiddles, all inside one VMEM-resident program per
-    scale — the intermediate T never touches HBM."""
+def _make_kernel_direct(mother: Mother, nfft: int, dt: float, S_pad: int,
+                        K: int, Cblk: int, inv_n: float, precision=None):
+    """Small-nfft fused kernel (nfft ≤ 2^12): ONE direct DFT matmul per
+    output-column block.
 
-    def kernel(scale_ref, xr_ref, xi_ref, twr_ref, twi_ref,
-               a2_f1r, a2_f1i, a2_wr, a2_wi, a2_f2r, a2_f2i,
-               a1_f1r, a1_f1i, a1_wr, a1_wi, a1_f2r, a1_f2i,
-               wr_ref, wi_ref):
-        s = scale_ref[pl.program_id(0)]
-        c2 = _read_tables((a2_f1r, a2_f1i, a2_wr, a2_wi, a2_f2r, a2_f2i),
-                          consts2[3], consts2[4], consts2[5], consts2[6])
-        c1 = _read_tables((a1_f1r, a1_f1i, a1_wr, a1_wi, a1_f2r, a1_f2i),
-                          consts1[3], consts1[4], consts1[5], consts1[6])
-        Rrows = R2 // 2 if analytic else R2
-        hr, hi = _filter_tile(mother, s, Rrows, 0, R1, R1, nfft, dt,
-                              jnp.float32)
-        xr = xr_ref[:]
+    Instead of the four-step decomposition (whose small-radix reshapes Mosaic
+    rejected on real hardware — round-2's `PYCWT_TPU_SMALL_KERNEL` opt-in),
+    this batches all S scales into MXU-native matmuls:
+
+        Y[s, k] = X[k] · H̄_s[k]            (filter built in-kernel, (S, K))
+        W[s, t] = (1/N) Σ_k Y[s, k] E[k, t]  with E[k, t] = e^{+2πi·k·t/N}
+
+    i.e. 4 real matmuls of (S_pad, K) @ (K, Cblk) per grid step.  Every tile
+    is ≥ (8, 128): S_pad is a multiple of 8, K = nfft or nfft/2 ≥ 128,
+    Cblk ≥ 128.  ``K < nfft`` means the analytic half-spectrum path (H ≡ 0
+    on negative frequencies, so the contraction halves)."""
+
+    def kernel(scale_ref, xr_ref, xi_ref, er_ref, ei_ref, wr_ref, wi_ref):
+        s = scale_ref[:][:, None]                       # (S_pad, 1)
+        k = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 1)
+        if K == nfft:  # full spectrum: fold negative frequencies
+            k = jnp.where(k >= nfft // 2, k - nfft, k)
+        omega = (2.0 * math.pi / (nfft * dt)) * k.astype(jnp.float32)
+        env = mother.psi_ft_envelope(s * omega).astype(jnp.float32)
+        norm = jnp.sqrt(2.0 * math.pi * s / dt)
+        cbar = np.conj(complex(mother.psi_ft_const()))
+        hr = (norm * float(cbar.real)) * env
+        hi = (norm * float(cbar.imag)) * env
+        xr = xr_ref[:]                                   # (1, K)
         xi = xi_ref[:]
-        vr = xr * hr - xi * hi
-        vi = xr * hi + xi * hr
-        zr, zi = _col_dft(vr, vi, c2, R2, R1, precision,
-                          rows_present=Rrows if analytic else None)
-        twr = twr_ref[:]
-        twi = twi_ref[:]
-        tr = zr * twr - zi * twi          # (R2, R1), rows c, cols a
-        ti = zr * twi + zi * twr
-        mr, mi = _col_dft(tr.T, ti.T, c1, R1, R2, precision)  # (R1, R2)
-        # Flatten to (nfft,) rows (t = d·R2 + c, row-major) — keeps the
-        # output block's minor dimension ≥ 128-aligned for Mosaic.
-        wr_ref[0, 0] = (mr * inv_n).reshape(R1 * R2)
-        wi_ref[0, 0] = (mi * inv_n).reshape(R1 * R2)
+        yr = xr * hr - xi * hi                           # (S_pad, K)
+        yi = xr * hi + xi * hr
+        if precision == "bf16x2":
+            dot = _dot_bf16x2
+        else:
+            dot = functools.partial(
+                jnp.dot, preferred_element_type=jnp.float32,
+                precision=precision or _MATMUL_PRECISION)
+        er = er_ref[:]                                   # (K, Cblk)
+        ei = ei_ref[:]
+        wr_ref[:] = (dot(yr, er) - dot(yi, ei)) * inv_n
+        wi_ref[:] = (dot(yr, ei) + dot(yi, er)) * inv_n
 
     return kernel
 
@@ -401,61 +407,64 @@ def _small_planar_xla(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     return wr / nfft, wi / nfft
 
 
+@functools.lru_cache(maxsize=16)
+def _idft_matrix_planar(nfft: int, K: int):
+    """(K, nfft) inverse-DFT matrix E[k, t] = e^{+2πi·k·t/nfft} as planar f32
+    host constants (K = nfft, or nfft/2 for the half-spectrum path)."""
+    k = np.arange(K, dtype=np.float64)
+    t = np.arange(nfft, dtype=np.float64)
+    E = np.exp(2j * np.pi * np.outer(k, t) / nfft)
+    return (np.ascontiguousarray(E.real, np.float32),
+            np.ascontiguousarray(E.imag, np.float32))
+
+
 def _fused_cwt_small(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
                      dt: float, interpret: bool, precision, analytic: bool):
+    """Small-nfft dispatch: pad scales to a sublane multiple and run the
+    direct-DFT matmul kernel (see :func:`_make_kernel_direct`)."""
     S = scales.shape[0]
-    R1, R2 = _nfft_factors(nfft)
-    consts2 = _dft_tables(R2)
-    consts1 = _dft_tables(R1)
+    S_pad = -(-S // 8) * 8
+    scales_p = scales.astype(jnp.float32)
+    if S_pad != S:
+        scales_p = jnp.concatenate(
+            [scales_p, jnp.broadcast_to(scales_p[-1:], (S_pad - S,))])
 
-    a_idx = np.arange(R2, dtype=np.float64)
-    c_idx = np.arange(R1, dtype=np.float64)
-    twf = np.exp(2j * np.pi * np.outer(a_idx, c_idx) / nfft)  # [c(R2), a(R1)]
-    twr = jnp.asarray(twf.real, jnp.float32)
-    twi = jnp.asarray(twf.imag, jnp.float32)
+    K = nfft // 2 if analytic else nfft
+    n_in = sig_r.shape[-1]
+    xr = sig_r.astype(jnp.float32)[:K] if n_in >= K else sig_r.astype(jnp.float32)
+    xi = sig_i.astype(jnp.float32)[:K] if n_in >= K else sig_i.astype(jnp.float32)
+    xr = xr.reshape(1, K)
+    xi = xi.reshape(1, K)
 
-    Rrows = R2 // 2 if analytic else R2
-    rows_in = sig_r.shape[-1] // R1      # R2, or R2/2 for half-spectrum input
-    xr = sig_r.astype(jnp.float32).reshape(rows_in, R1)[:Rrows]
-    xi = sig_i.astype(jnp.float32).reshape(rows_in, R1)[:Rrows]
+    er, ei = _idft_matrix_planar(nfft, K)
+    Cblk = min(nfft, 512)
 
-    def tables(consts):
-        (f1r, f1i), (wr_, wi_), (f2r, f2i) = consts[:3]
-        arrays = [jnp.asarray(a) for a in (f1r, f1i, wr_, wi_, f2r, f2i)]
-        specs = [pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim)
-                 for a in arrays]
-        return arrays, specs
-
-    tab2, tab2_specs = tables(consts2)
-    tab1, tab1_specs = tables(consts1)
-
-    kern = _make_kernel_small(mother, nfft, dt, R1, R2, consts2, consts1,
-                              1.0 / nfft, precision, analytic)
-    out_shape = [jax.ShapeDtypeStruct((S, 1, nfft), jnp.float32),
-                 jax.ShapeDtypeStruct((S, 1, nfft), jnp.float32)]
+    kern = _make_kernel_direct(mother, nfft, dt, S_pad, K, Cblk, 1.0 / nfft,
+                               precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(S,),
+        grid=(nfft // Cblk,),
         in_specs=[
-            pl.BlockSpec((Rrows, R1), lambda s, *refs: (0, 0)),
-            pl.BlockSpec((Rrows, R1), lambda s, *refs: (0, 0)),
-            pl.BlockSpec((R2, R1), lambda s, *refs: (0, 0)),
-            pl.BlockSpec((R2, R1), lambda s, *refs: (0, 0)),
-        ] + tab2_specs + tab1_specs,
+            pl.BlockSpec((1, K), lambda c, *refs: (0, 0)),
+            pl.BlockSpec((1, K), lambda c, *refs: (0, 0)),
+            pl.BlockSpec((K, Cblk), lambda c, *refs: (0, c)),
+            pl.BlockSpec((K, Cblk), lambda c, *refs: (0, c)),
+        ],
         out_specs=[
-            pl.BlockSpec((1, 1, nfft), lambda s, *refs: (s, 0, 0)),
-            pl.BlockSpec((1, 1, nfft), lambda s, *refs: (s, 0, 0)),
+            pl.BlockSpec((S_pad, Cblk), lambda c, *refs: (0, c)),
+            pl.BlockSpec((S_pad, Cblk), lambda c, *refs: (0, c)),
         ],
     )
     wr, wi = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=[jax.ShapeDtypeStruct((S_pad, nfft), jnp.float32),
+                   jax.ShapeDtypeStruct((S_pad, nfft), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scales.astype(jnp.float32), xr, xi, twr, twi, *tab2, *tab1)
-    return wr.reshape(S, nfft), wi.reshape(S, nfft)
+    )(scales_p, xr, xi, jnp.asarray(er), jnp.asarray(ei))
+    return wr[:S], wi[:S]
 
 
 @functools.partial(
@@ -490,22 +499,20 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     if nfft <= _SMALL_MAX:
         import os as _os
 
-        if interpret or _os.environ.get("PYCWT_TPU_SMALL_KERNEL") == "1":
-            # Single fused kernel (VMEM-resident intermediate).  The Mosaic
-            # compiler behind the tunneled chip rejects its small-tile
-            # reshapes (remote compile HTTP 500 with the message hidden;
-            # measured 2026-08-20), so real hardware defaults to the planar
-            # XLA-matmul path below — still complex-free, sub-millisecond at
-            # these sizes — and the kernel is opt-in via
-            # PYCWT_TPU_SMALL_KERNEL=1 on runtimes whose Mosaic accepts it.
+        # Default: the direct-DFT matmul kernel (_make_kernel_direct) — all
+        # tiles are (8,128)-granular, so real Mosaic accepts it (the round-2
+        # four-step small kernel was rejected for its small-radix reshapes).
+        # PYCWT_TPU_NO_SMALL_KERNEL=1 is the escape hatch back to the planar
+        # XLA-matmul formulation (same math, unfused).
+        if _os.environ.get("PYCWT_TPU_NO_SMALL_KERNEL") == "1":
+            wr, wi = _small_planar_xla(
+                sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
+                precision=prec_small)
+        else:
             wr, wi = _fused_cwt_small(
                 sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
                 interpret=interpret, precision=prec_small,
                 analytic=analytic_small)
-        else:
-            wr, wi = _small_planar_xla(
-                sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
-                precision=prec_small)
         if power_only:
             return (wr * wr + wi * wi).sum(axis=-1)
         return wr, wi
