@@ -62,3 +62,44 @@ def test_example_scripts_run():
             text=True, timeout=600, env=env, cwd=repo,
         )
         assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_figure_arrays_golden_nino3(golden):
+    """Pin every array the 4-panel demo figure plots (the reference's
+    de-facto regression artifact is its checked-in sample PNGs —
+    /root/reference/MANIFEST.in:7; we pin the plotted DATA instead, so a
+    plotting-path regression fails a test, not an eyeball diff)."""
+    import pycwt_tpu as wt
+    from pycwt_tpu.analysis import cwt_analysis
+    from pycwt_tpu.sample import load
+
+    g = golden("figure_nino3")
+    ds = load("nino3")
+    res = cwt_analysis(ds.values, ds.dt, t0=ds.t0, mother=wt.Morlet(6),
+                       avg_band=(2, 8))
+    for name in ("t", "signal", "iwave", "period", "power", "sig95", "coi",
+                 "global_power", "global_signif", "scale_avg"):
+        np.testing.assert_allclose(
+            getattr(res, name), g[name], rtol=1e-10, atol=1e-12,
+            err_msg=f"figure panel array {name!r} drifted")
+    np.testing.assert_allclose(res.scale_avg_signif, g["scale_avg_signif"],
+                               rtol=1e-10)
+    np.testing.assert_allclose(res.alpha, g["alpha"], rtol=1e-10)
+
+
+def test_figure_arrays_golden_jao_jbaltic(golden):
+    """Same for the XWT/WCT demo figure arrays."""
+    from pycwt_tpu.analysis import wct_analysis, xwt_analysis
+    from pycwt_tpu.sample import load
+
+    g = golden("figure_jao_jbaltic")
+    jao, jba = load("jao"), load("jbaltic")
+    n = min(jao.values.size, jba.values.size)
+    x = xwt_analysis(jao.values[:n], jba.values[:n], jao.dt,
+                     significance_level=0.8646)
+    w = wct_analysis(jao.values[:n], jba.values[:n], jao.dt, sig=False)
+    np.testing.assert_allclose(x["cross_power"], g["cross_power"], rtol=1e-10)
+    np.testing.assert_allclose(x["cross_sig"], g["cross_sig"], rtol=1e-10)
+    np.testing.assert_allclose(x["coi"], g["xwt_coi"], rtol=1e-10)
+    np.testing.assert_allclose(w["WCT"], g["wct"], rtol=1e-10)
+    np.testing.assert_allclose(w["phase"], g["wct_phase"], rtol=1e-10)
