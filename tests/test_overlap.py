@@ -141,3 +141,23 @@ def test_overlap_save_short_signal_passthrough():
     W_ref, _ = cwt_batch(jnp.asarray(x)[None], jnp.asarray(grid.sj), 1.0,
                          mother=wt.Morlet(6), nfft=next_pow2(500))
     np.testing.assert_allclose(W, np.asarray(W_ref[0]), rtol=0, atol=1e-12)
+
+
+def test_overlap_near_nyquist_warns():
+    """A scale grid starting at the TC98 default s0=2dt/lambda must trigger
+    the near-Nyquist warning; a coarse grid (s >= 4dt) must not."""
+    import warnings
+
+    import pytest
+
+    from pycwt_tpu.ops.overlap import cwt_overlap_save
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(512))
+    fine = jnp.asarray([0.5, 2.0, 8.0])    # 0.5 = 2dt/lambda-ish
+    with pytest.warns(UserWarning, match="Nyquist"):
+        cwt_overlap_save(x, fine, 1.0, mother=wt.Morlet(6), chunk=256)
+    coarse = jnp.asarray([8.0, 16.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cwt_overlap_save(x, coarse, 1.0, mother=wt.Morlet(6), chunk=256)
