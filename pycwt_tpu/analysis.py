@@ -34,7 +34,8 @@ __all__ = ["CWTAnalysis", "cwt_analysis", "global_spectrum", "xwt_analysis",
 def global_spectrum(signal, dt: float, dj: float = 1 / 12, s0: float = -1,
                     J: int = -1, wavelet: Mother | str = "morlet",
                     variance_scaled: bool = True,
-                    engine: str | None = None):
+                    engine: str | None = None,
+                    exact_trim: bool = False):
     """Global wavelet spectrum WITHOUT materializing the transform.
 
     For spectrum-only workloads this is the fast path: by Parseval the
@@ -43,7 +44,10 @@ def global_spectrum(signal, dt: float, dj: float = 1 / 12, s0: float = -1,
     pass over the (S × nfft) filter grid), versus the reference's
     materialize-W-then-average at ``sample/sample.py:90``.  Exact when the
     signal length is a power of two; with padding the difference is confined
-    to COI-masked edge energy.  For N ≫ HBM use
+    to COI-masked edge energy (an O(%) deviation at large scales for non-pow-2
+    lengths).  ``exact_trim=True`` switches to the materialized
+    transform-then-trimmed-mean, matching the reference demo's sum exactly at
+    the cost of holding (S × nfft).  For N ≫ HBM use
     :func:`pycwt_tpu.ops.overlap.streamed_global_power` instead.
 
     Returns ``(global_power, scales, freqs)`` with the reference demo's
@@ -62,9 +66,17 @@ def global_spectrum(signal, dt: float, dj: float = 1 / 12, s0: float = -1,
     x = (signal - signal.mean()) / std
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
     nfft = DEFAULT.fft_length(n0)
-    p = global_power_parseval(jnp.asarray(x)[None], jnp.asarray(grid.sj),
-                              dt=dt, mother=mother, nfft=nfft, engine=engine)
-    gws = np.asarray(p[0]) / n0
+    if exact_trim and nfft != n0:
+        from .transform import cwt_batch
+
+        W, _ = cwt_batch(jnp.asarray(x)[None], jnp.asarray(grid.sj), dt,
+                         mother=mother, nfft=nfft, engine=engine)
+        gws = np.asarray((jnp.abs(W[..., :n0]) ** 2).mean(-1)[0])
+    else:
+        p = global_power_parseval(jnp.asarray(x)[None], jnp.asarray(grid.sj),
+                                  dt=dt, mother=mother, nfft=nfft,
+                                  engine=engine)
+        gws = np.asarray(p[0]) / n0
     if variance_scaled:
         gws = gws * float(std) ** 2
     return gws, grid.sj, grid.freqs

@@ -57,3 +57,25 @@ def test_analysis_global_spectrum_matches_full_pipeline():
     full = cwt_analysis(x, 1.0, dj=1 / 6)
     np.testing.assert_allclose(gws, full.global_power, rtol=1e-10)
     np.testing.assert_allclose(sj, full.scales, rtol=1e-12)
+
+
+def test_global_spectrum_exact_trim_matches_materialized():
+    """exact_trim=True reproduces the reference demo's trimmed time-mean
+    exactly for non-pow-2 signals (ADVICE r2: the Parseval fast path counts
+    zero-pad tail energy the demo excludes)."""
+    import pycwt_tpu as wt
+    from pycwt_tpu.analysis import global_spectrum
+
+    rng = np.random.default_rng(8)
+    x = np.cumsum(rng.standard_normal(300))  # non-pow-2 → nfft=512 padding
+    gws_t, sj, _ = global_spectrum(x, 1.0, dj=1 / 6, exact_trim=True)
+    # materialized reference
+    W, sj2, freqs, coi, _, _ = wt.cwt((x - x.mean()) / x.std(), 1.0, dj=1 / 6)
+    ref = (np.abs(W) ** 2).mean(-1) * x.std() ** 2
+    np.testing.assert_allclose(gws_t, ref, rtol=1e-10)
+    # and the fast path is close but not identical (documented deviation)
+    gws_f, _, _ = global_spectrum(x, 1.0, dj=1 / 6)
+    assert not np.allclose(gws_f, ref, rtol=1e-10)
+    # the deviation is concentrated at large scales (COI-masked edge energy);
+    # the smallest scales agree tightly
+    np.testing.assert_allclose(gws_f[:10], ref[:10], rtol=2e-2)

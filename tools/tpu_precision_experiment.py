@@ -58,7 +58,7 @@ def main():
     # NOTE: Mosaic's dot lowering supports only DEFAULT and HIGHEST —
     # Precision.HIGH raises NotImplementedError (measured 2026-08-20), so
     # HIGHEST is the accurate tier (bf16x3) and DEFAULT the fast one.
-    for prec in ("highest", "fast"):
+    for prec in ("highest", "high", "fast"):
         def pipeline(sr, si):
             wr, wi = fused_cwt_planar(sr, si, scales, mother=mother,
                                       nfft=N0, dt=DT, precision=prec)
