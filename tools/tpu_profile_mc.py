@@ -26,6 +26,11 @@ sys.path.insert(0, ROOT)
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# The axon sitecustomize pins the TPU platform; honor an explicit override
+# the same way the other tools do (jax.config beats the env var).
+if os.environ.get("PYCWT_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PYCWT_TPU_PLATFORM"])
+
 from pycwt_tpu.config import DEFAULT  # noqa: E402
 from pycwt_tpu.coherence import NBINS, _wct_core  # noqa: E402
 from pycwt_tpu.mothers import Morlet  # noqa: E402
