@@ -179,3 +179,23 @@ def test_fused_cwt_planar_bf16x2_tier():
     W = np.asarray(wr) + 1j * np.asarray(wi)
     err = np.abs(W - W_ref).max() / np.abs(W_ref).max()
     assert err < 2e-4, err   # ~1e-5..1e-4 expected; far below fast's ~5e-3
+
+
+def test_dot_bf16x2_error_bound():
+    """_dot_bf16x2 (outside any kernel) ~2 decades tighter than single-pass
+    bf16 on random matmuls; only the lo·lo term is dropped."""
+    from pycwt_tpu.ops.pallas_fft import _dot_bf16x2
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((128, 96)), jnp.float32)
+    exact = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    ours = np.asarray(_dot_bf16x2(a, b))
+    single = np.asarray(
+        jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32))
+    scale = np.abs(exact).max()
+    err2 = np.abs(ours - exact).max() / scale
+    err1 = np.abs(single - exact).max() / scale
+    assert err2 < 5e-6, err2
+    assert err2 < err1 / 50, (err2, err1)
