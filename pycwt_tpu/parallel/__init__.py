@@ -5,3 +5,4 @@ from .sharded import (  # noqa: F401
     sharded_wct,
     sharded_mc_histogram,
 )
+from .dist_fft import sharded_cwt_spectral, sharded_dft, sharded_idft  # noqa: F401
