@@ -348,7 +348,7 @@ def _make_kernel_direct(mother: Mother, nfft: int, dt: float, S_pad: int,
     on negative frequencies, so the contraction halves)."""
 
     def kernel(scale_ref, xr_ref, xi_ref, er_ref, ei_ref, wr_ref, wi_ref):
-        s = scale_ref[:][:, None]                       # (S_pad, 1)
+        s = scale_ref[:]                                # (S_pad, 1) in VMEM
         k = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 1)
         if K == nfft:  # full spectrum: fold negative frequencies
             k = jnp.where(k >= nfft // 2, k - nfft, k)
@@ -441,18 +441,20 @@ def _fused_cwt_small(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
 
     kern = _make_kernel_direct(mother, nfft, dt, S_pad, K, Cblk, 1.0 / nfft,
                                precision)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    # Scales ride in VMEM as an (S_pad, 1) column — NOT scalar-prefetch SMEM:
+    # Mosaic can only load scalars from SMEM, and no index_map needs them.
+    grid_spec = pl.GridSpec(
         grid=(nfft // Cblk,),
         in_specs=[
-            pl.BlockSpec((1, K), lambda c, *refs: (0, 0)),
-            pl.BlockSpec((1, K), lambda c, *refs: (0, 0)),
-            pl.BlockSpec((K, Cblk), lambda c, *refs: (0, c)),
-            pl.BlockSpec((K, Cblk), lambda c, *refs: (0, c)),
+            pl.BlockSpec((S_pad, 1), lambda c: (0, 0)),
+            pl.BlockSpec((1, K), lambda c: (0, 0)),
+            pl.BlockSpec((1, K), lambda c: (0, 0)),
+            pl.BlockSpec((K, Cblk), lambda c: (0, c)),
+            pl.BlockSpec((K, Cblk), lambda c: (0, c)),
         ],
         out_specs=[
-            pl.BlockSpec((S_pad, Cblk), lambda c, *refs: (0, c)),
-            pl.BlockSpec((S_pad, Cblk), lambda c, *refs: (0, c)),
+            pl.BlockSpec((S_pad, Cblk), lambda c: (0, c)),
+            pl.BlockSpec((S_pad, Cblk), lambda c: (0, c)),
         ],
     )
     wr, wi = pl.pallas_call(
@@ -463,7 +465,7 @@ def _fused_cwt_small(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scales_p, xr, xi, jnp.asarray(er), jnp.asarray(ei))
+    )(scales_p.reshape(S_pad, 1), xr, xi, jnp.asarray(er), jnp.asarray(ei))
     return wr[:S], wi[:S]
 
 

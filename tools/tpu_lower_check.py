@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Mosaic lowering smoke for every Pallas kernel variant — seconds, not
+minutes.
+
+The pytest suite runs the kernels in interpret mode on CPU, which skips
+Mosaic's lowering constraints entirely (e.g. "Can only load scalars from
+SMEM", small-tile relayout rejections).  This tool `jax.jit(...).lower()`s
+every kernel variant against the REAL TPU backend — that executes the
+Pallas→Mosaic module lowering (where those constraints are enforced) without
+paying device compile/execute time, so it stays fast even when the tunneled
+backend is degraded.
+
+Run on any change to pycwt_tpu/ops/pallas_fft.py:
+
+    timeout 120 python tools/tpu_lower_check.py
+
+Exit code 0 = all variants lower; non-zero prints the failing variant(s).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+if os.environ.get("PYCWT_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PYCWT_TPU_PLATFORM"])
+
+from pycwt_tpu.mothers import DOG, Morlet  # noqa: E402
+from pycwt_tpu.ops.pallas_fft import fused_cwt_planar  # noqa: E402
+
+S = 20  # deliberately not a multiple of 8 — exercises the S_pad path
+
+
+def variants():
+    """(name, nfft, spectrum_len, mother, power_only, precision) cases
+    covering every dispatch branch of fused_cwt_planar."""
+    morlet, dog = Morlet(6), DOG(2)
+    for nfft in (512, 4096):  # small direct-DFT kernel
+        yield f"small{nfft}-morlet-full", nfft, nfft, morlet, False, "highest"
+        yield f"small{nfft}-morlet-half", nfft, nfft // 2, morlet, False, "highest"
+        yield f"small{nfft}-dog-full", nfft, nfft, dog, False, "highest"
+    yield "small512-morlet-high", 512, 512, morlet, False, "high"
+    yield "small512-morlet-fast", 512, 512, morlet, False, "fast"
+    big = 1 << 20  # two-kernel four-step pipeline
+    yield "big-morlet-full", big, big, morlet, False, "highest"
+    yield "big-morlet-half", big, big // 2, morlet, False, "highest"
+    yield "big-dog-full", big, big, dog, False, "highest"
+    yield "big-morlet-power", big, big, morlet, True, "highest"
+    yield "big-morlet-high", big, big, morlet, False, "high"
+    yield "big-morlet-fast", big, big, morlet, False, "fast"
+
+
+def main():
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        print(f"SKIP: backend is {backend!r}, not a TPU — Mosaic lowering "
+              "constraints are only enforced against the TPU target.")
+        return 0
+    failures = []
+    for name, nfft, n_in, mother, power_only, precision in variants():
+        sr = jnp.zeros((n_in,), jnp.float32)
+        si = jnp.zeros((n_in,), jnp.float32)
+        sj = jnp.geomspace(2.0, 64.0, S, dtype=jnp.float32)
+        f = functools.partial(fused_cwt_planar, mother=mother, nfft=nfft,
+                              dt=0.25, power_only=power_only,
+                              precision=precision, interpret=False)
+        t0 = time.time()
+        try:
+            jax.jit(f).lower(sr, si, sj)
+            print(f"  ok   {name:26s} {time.time() - t0:5.1f}s", flush=True)
+        except Exception as e:
+            failures.append((name, f"{type(e).__name__}: {e}"[:160]))
+            print(f"  FAIL {name:26s} {failures[-1][1]}", flush=True)
+    if failures:
+        print(f"{len(failures)} variant(s) failed Mosaic lowering")
+        return 1
+    print("all variants lower on Mosaic")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
