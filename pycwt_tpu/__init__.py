@@ -17,7 +17,7 @@ wavelets), redesigned TPU-first:
 Public API mirrors the reference's ``pycwt/__init__.py:85-90``.
 """
 
-from . import mothers  # noqa: F401
+from . import mothers, sample  # noqa: F401
 from .api import cwt, icwt, significance  # noqa: F401
 from .coherence import wct, wct_significance, xwt  # noqa: F401
 from .mothers import DOG, MexicanHat, Morlet, Paul  # noqa: F401
