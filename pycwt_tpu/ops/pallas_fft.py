@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -302,7 +303,8 @@ def _make_kernel_b(R1: int, R2: int, Cblk: int, r1: int, r2: int,
 
 def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
               Ablk: int = 256, Cblk: int = 256, power_only: bool = False,
-              interpret: bool = False, precision: str = "highest"):
+              interpret: bool = False, precision: str = "highest",
+              small_kernel: bool | None = None):
     """Fused Pallas CWT for ONE signal spectrum (complex-dtype convenience
     wrapper over :func:`fused_cwt_planar`).
 
@@ -323,7 +325,8 @@ def fused_cwt(signal_ft, scales, *, mother: Mother, nfft: int, dt: float,
         jnp.real(signal_ft).astype(jnp.float32),
         jnp.imag(signal_ft).astype(jnp.float32),
         scales, mother=mother, nfft=nfft, dt=dt, Ablk=Ablk, Cblk=Cblk,
-        power_only=power_only, interpret=interpret, precision=precision)
+        power_only=power_only, interpret=interpret, precision=precision,
+        small_kernel=small_kernel)
     if power_only:
         return out
     wr, wi = out
@@ -469,15 +472,34 @@ def _fused_cwt_small(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     return wr[:S], wi[:S]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mother", "nfft", "dt", "Ablk", "Cblk", "power_only",
-                     "interpret", "precision"),
-)
 def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
                      dt: float, Ablk: int = 256, Cblk: int = 256,
                      power_only: bool = False, interpret: bool = False,
-                     precision: str = "highest"):
+                     precision: str = "highest",
+                     small_kernel: bool | None = None):
+    """Planar fused CWT — thin wrapper resolving the small-nfft path choice
+    OUTSIDE the jit cache (an env sniff inside a traced function would let a
+    stale executable shadow a changed env var).  ``small_kernel=None`` →
+    ``PYCWT_TPU_SMALL_KERNEL=1`` env opt-in, else the measured-faster planar
+    XLA formulation.  See :func:`_fused_cwt_planar_jit` for the math."""
+    if small_kernel is None:
+        small_kernel = os.environ.get("PYCWT_TPU_SMALL_KERNEL") == "1"
+    return _fused_cwt_planar_jit(
+        sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt, Ablk=Ablk,
+        Cblk=Cblk, power_only=power_only, interpret=interpret,
+        precision=precision, small_kernel=bool(small_kernel))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mother", "nfft", "dt", "Ablk", "Cblk", "power_only",
+                     "interpret", "precision", "small_kernel"),
+)
+def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
+                          dt: float, Ablk: int = 256, Cblk: int = 256,
+                          power_only: bool = False, interpret: bool = False,
+                          precision: str = "highest",
+                          small_kernel: bool = False):
     """Fused Pallas CWT on a PLANAR ``(re, im)`` f32 spectrum — no complex
     dtype anywhere in the computation.  With
     :func:`pycwt_tpu.ops.mxu_dft.fft_of_real_planar` upstream this gives a
@@ -499,22 +521,23 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
             "half-spectrum input requires an analytic mother "
             f"({mother.name} reads negative-frequency bins)")
     if nfft <= _SMALL_MAX:
-        import os as _os
-
-        # Default: the direct-DFT matmul kernel (_make_kernel_direct) — all
-        # tiles are (8,128)-granular, so real Mosaic accepts it (the round-2
-        # four-step small kernel was rejected for its small-radix reshapes).
-        # PYCWT_TPU_NO_SMALL_KERNEL=1 is the escape hatch back to the planar
-        # XLA-matmul formulation (same math, unfused).
-        if _os.environ.get("PYCWT_TPU_NO_SMALL_KERNEL") == "1":
-            wr, wi = _small_planar_xla(
-                sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
-                precision=prec_small)
-        else:
+        # Default: the planar XLA-matmul formulation.  The fused direct-DFT
+        # Pallas kernel (_make_kernel_direct) compiles and validates on real
+        # Mosaic (~3e-7 agreement), but MEASURES SLOWER at every small size
+        # (tools/tpu_bench_small.py, v5e: 512: 158 vs 142 µs, 2048: 219 vs
+        # 153 µs; MC steady 0.316 vs 0.303 s) — XLA's fusion wins when the
+        # whole transform is a handful of MXU tiles.  ``small_kernel=True``
+        # (or PYCWT_TPU_SMALL_KERNEL=1) opts into the Pallas kernel (e.g. to
+        # re-measure on new hardware).
+        if small_kernel:
             wr, wi = _fused_cwt_small(
                 sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
                 interpret=interpret, precision=prec_small,
                 analytic=analytic_small)
+        else:
+            wr, wi = _small_planar_xla(
+                sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
+                precision=prec_small)
         if power_only:
             return (wr * wr + wi * wi).sum(axis=-1)
         return wr, wi

@@ -33,11 +33,16 @@ def test_fused_cwt_matches_xla(mother):
     assert np.abs(W - W_ref).max() / scale < 1e-5
 
 
+@pytest.mark.parametrize("small_kernel", [False, True],
+                         ids=["planar_xla", "pallas_kernel"])
 @pytest.mark.parametrize("nfft_pow", [8, 9, 10, 11, 12, 13, 14])
-def test_fused_cwt_sizes(nfft_pow):
+def test_fused_cwt_sizes(nfft_pow, small_kernel):
     """Both even and odd pow-2 splits (R1 ≠ R2); sizes ≤ 2^12 dispatch to the
-    single-kernel small path (VMEM-resident intermediate) — NINO3's compat
-    nfft=512 included."""
+    small path — NINO3's compat nfft=512 included — covered under BOTH its
+    formulations (default planar-XLA and the opt-in direct-DFT Pallas
+    kernel).  Above 2^12 ``small_kernel`` is ignored; skip the duplicate."""
+    if nfft_pow > 12 and small_kernel:
+        pytest.skip("small_kernel only affects nfft <= 2^12")
     nfft = 1 << nfft_pow
     rng = np.random.default_rng(1)
     X = jnp.fft.fft(jnp.asarray(rng.standard_normal(nfft), jnp.float32))
@@ -45,7 +50,8 @@ def test_fused_cwt_sizes(nfft_pow):
     scales = jnp.asarray([4.0, 32.0], jnp.float32)
     W_ref = _ref(X, scales, wt.Morlet(6), nfft, 0.5)
     W = np.asarray(fused_cwt(X, scales, mother=wt.Morlet(6), nfft=nfft,
-                             dt=0.5, Ablk=32, Cblk=32, interpret=True))
+                             dt=0.5, Ablk=32, Cblk=32, interpret=True,
+                             small_kernel=small_kernel))
     assert np.abs(W - W_ref).max() / np.abs(W_ref).max() < 1e-5
 
 
@@ -120,9 +126,13 @@ def test_fused_cwt_half_spectrum_input(nfft):
                          Ablk=32, Cblk=32, interpret=True)
 
 
-def test_fused_cwt_vmap_batch():
+@pytest.mark.parametrize("small_kernel", [False, True],
+                         ids=["planar_xla", "pallas_kernel"])
+def test_fused_cwt_vmap_batch(small_kernel):
     """vmap over signals (how cwt_batch drives the fused engine at B>1)
-    matches per-signal results exactly."""
+    matches per-signal results — bit-exactly for the Pallas kernel (vmap adds
+    a grid dimension, same per-signal program), and to f32 round-off for the
+    planar-XLA path (batched matmuls may re-tile the contraction)."""
     nfft = 1 << 12
     B = 3
     rng = np.random.default_rng(6)
@@ -130,17 +140,24 @@ def test_fused_cwt_vmap_batch():
     X = X.astype(jnp.complex64)
     scales = jnp.asarray(2.0 * 2 ** (np.arange(8) * 0.5), jnp.float32)
     kw = dict(mother=wt.Morlet(6), nfft=nfft, dt=1.0, Ablk=32, Cblk=32,
-              interpret=True)
+              interpret=True, small_kernel=small_kernel)
     W_b = np.asarray(jax.vmap(lambda s: fused_cwt(s, scales, **kw))(X))
     for b in range(B):
         W_1 = np.asarray(fused_cwt(X[b], scales, **kw))
-        np.testing.assert_array_equal(W_b[b], W_1)
+        if small_kernel:
+            np.testing.assert_array_equal(W_b[b], W_1)
+        else:
+            scale = np.abs(W_1).max()
+            np.testing.assert_allclose(W_b[b], W_1, atol=1e-5 * scale, rtol=0)
 
 
+@pytest.mark.parametrize("small_kernel", [False, True],
+                         ids=["planar_xla", "pallas_kernel"])
 @pytest.mark.parametrize("mother", MOTHERS, ids=lambda m: f"{m.name}")
-def test_fused_cwt_small_all_mothers(mother):
-    """Small-path kernel vs XLA for every mother (exercises both the analytic
-    half-spectrum branch and the full-spectrum DOG branch at nfft=512)."""
+def test_fused_cwt_small_all_mothers(mother, small_kernel):
+    """Small path vs XLA for every mother (exercises both the analytic
+    half-spectrum branch and the full-spectrum DOG branch at nfft=512),
+    under both small-path formulations."""
     nfft = 512
     rng = np.random.default_rng(9)
     X = jnp.fft.fft(jnp.asarray(rng.standard_normal(nfft), jnp.float32))
@@ -148,7 +165,7 @@ def test_fused_cwt_small_all_mothers(mother):
     scales = jnp.asarray(2.0 * 2 ** (np.arange(6) * 0.5), jnp.float32)
     W_ref = _ref(X, scales, mother, nfft, 1.0)
     W = np.asarray(fused_cwt(X, scales, mother=mother, nfft=nfft, dt=1.0,
-                             interpret=True))
+                             interpret=True, small_kernel=small_kernel))
     assert np.abs(W - W_ref).max() / np.abs(W_ref).max() < 1e-5
 
 

@@ -39,22 +39,25 @@ S = 20  # deliberately not a multiple of 8 — exercises the S_pad path
 
 
 def variants():
-    """(name, nfft, spectrum_len, mother, power_only, precision) cases
-    covering every dispatch branch of fused_cwt_planar."""
+    """(name, nfft, spectrum_len, mother, power_only, precision, small_kernel)
+    cases covering every dispatch branch of fused_cwt_planar — the small
+    sizes under BOTH formulations (default planar-XLA and the opt-in
+    direct-DFT Pallas kernel)."""
     morlet, dog = Morlet(6), DOG(2)
-    for nfft in (512, 4096):  # small direct-DFT kernel
-        yield f"small{nfft}-morlet-full", nfft, nfft, morlet, False, "highest"
-        yield f"small{nfft}-morlet-half", nfft, nfft // 2, morlet, False, "highest"
-        yield f"small{nfft}-dog-full", nfft, nfft, dog, False, "highest"
-    yield "small512-morlet-high", 512, 512, morlet, False, "high"
-    yield "small512-morlet-fast", 512, 512, morlet, False, "fast"
+    for sk, tag in ((True, "kern"), (False, "xla")):
+        for nfft in (512, 4096):
+            yield f"small{nfft}-{tag}-morlet-full", nfft, nfft, morlet, False, "highest", sk
+            yield f"small{nfft}-{tag}-morlet-half", nfft, nfft // 2, morlet, False, "highest", sk
+            yield f"small{nfft}-{tag}-dog-full", nfft, nfft, dog, False, "highest", sk
+        yield f"small512-{tag}-morlet-high", 512, 512, morlet, False, "high", sk
+        yield f"small512-{tag}-morlet-fast", 512, 512, morlet, False, "fast", sk
     big = 1 << 20  # two-kernel four-step pipeline
-    yield "big-morlet-full", big, big, morlet, False, "highest"
-    yield "big-morlet-half", big, big // 2, morlet, False, "highest"
-    yield "big-dog-full", big, big, dog, False, "highest"
-    yield "big-morlet-power", big, big, morlet, True, "highest"
-    yield "big-morlet-high", big, big, morlet, False, "high"
-    yield "big-morlet-fast", big, big, morlet, False, "fast"
+    yield "big-morlet-full", big, big, morlet, False, "highest", False
+    yield "big-morlet-half", big, big // 2, morlet, False, "highest", False
+    yield "big-dog-full", big, big, dog, False, "highest", False
+    yield "big-morlet-power", big, big, morlet, True, "highest", False
+    yield "big-morlet-high", big, big, morlet, False, "high", False
+    yield "big-morlet-fast", big, big, morlet, False, "fast", False
 
 
 def main():
@@ -64,13 +67,15 @@ def main():
               "constraints are only enforced against the TPU target.")
         return 0
     failures = []
-    for name, nfft, n_in, mother, power_only, precision in variants():
+    for (name, nfft, n_in, mother, power_only, precision,
+         small_kernel) in variants():
         sr = jnp.zeros((n_in,), jnp.float32)
         si = jnp.zeros((n_in,), jnp.float32)
         sj = jnp.geomspace(2.0, 64.0, S, dtype=jnp.float32)
         f = functools.partial(fused_cwt_planar, mother=mother, nfft=nfft,
                               dt=0.25, power_only=power_only,
-                              precision=precision, interpret=False)
+                              precision=precision, interpret=False,
+                              small_kernel=small_kernel)
         t0 = time.time()
         try:
             jax.jit(f).lower(sr, si, sj)
