@@ -94,10 +94,15 @@ def main():
     # the positive-frequency half (~2/3 the compute, half the write).
     half = mother.analytic_negligible_negative()
 
+    # The kernel tier follows the LIBRARY default (CWTConfig.precision) so
+    # the headline measures what wt.cwt users actually get.
+    from pycwt_tpu.config import DEFAULT as _CFG
+    precision = _CFG.precision
+
     def pipeline_planar(x):                  # x: (1, N0) f32
         sr, si = fft_of_real_planar(x[0], N0, half=half)
         wr, wi = fused_cwt_planar(sr, si, scales_j, mother=mother,
-                                  nfft=N0, dt=dt)
+                                  nfft=N0, dt=dt, precision=precision)
         return (wr * wr + wi * wi).mean(-1)[None]   # (1, S)
 
     def make_pipeline_complex(eng):
@@ -190,7 +195,9 @@ def main():
     if engine == "planar-pallas":
         flops = planar_pipeline_flops(N0, S, half)
         achieved = flops / per_iter
-        issue = achieved * 3  # bf16x3 (Precision.HIGHEST) default tier
+        # MXU passes per f32-equivalent FLOP for the active tier.
+        passes = {"highest": 3, "high": 2, "fast": 1}[precision]
+        issue = achieved * passes
         roofline = {
             "flops_per_transform": flops,
             "achieved_tflops_f32equiv": achieved / 1e12,
@@ -200,7 +207,8 @@ def main():
     print(json.dumps({
         "metric": "sample_scales_per_s_per_chip",
         "value": sample_scales_per_s,
-        "unit": f"sample-scales/s (1M-pt Morlet-6, 64 scales, f32, {engine} engine)",
+        "unit": (f"sample-scales/s (1M-pt Morlet-6, 64 scales, f32, {engine} "
+                 f"engine, precision={precision})"),
         "vs_baseline": sample_scales_per_s / TARGET,
         "phases": timer.report(),
         **roofline,

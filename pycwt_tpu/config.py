@@ -42,11 +42,32 @@ class CWTConfig:
         WCT/MC pipelines).  ``None`` defers to the ``PYCWT_TPU_ENGINE`` env
         var, then a per-backend default ("planar" on the tunneled axon
         platform, else "xla").
+    precision:
+        MXU matmul tier for the f32 fused-kernel CWT path (big transforms,
+        nfft > 4096).  Measured on v5e (tools/tpu_precision_experiment.py,
+        1M-pt Morlet-6 × 64 scales, error on the global wavelet spectrum):
+
+        * ``"highest"`` — bf16x3, ~f32-exact (11.9 ms);
+        * ``"high"``    — hand-rolled 2-pass compensated bf16
+          (``ops.pallas_fft._dot_bf16x2``), 4.7e-6 rel err (8.0 ms) —
+          the default: invisible next to the f32 path's ~1e-3 parity
+          error vs the f64 goldens, 1.5× faster;
+        * ``"fast"``    — single-pass bf16, 4.0e-3 rel err (5.6 ms).
+
+        f64 runs, the xla/mxu engines, and small-nfft workloads (which ride
+        the planar-XLA formulation at HIGHEST) are unaffected.
     """
 
     pad_pow2: bool = True
     dtype: jnp.dtype | None = None
     engine: str | None = None
+    precision: str = "high"
+
+    def __post_init__(self):
+        if self.precision not in ("highest", "high", "fast"):
+            raise ValueError(
+                f"precision must be 'highest' | 'high' | 'fast', "
+                f"got {self.precision!r}")
 
     @property
     def real_dtype(self) -> jnp.dtype:

@@ -148,7 +148,8 @@ def cwt_batch(
         if supported_nfft(nfft) and jax.default_backend() in ("tpu", "axon"):
             W_full = jax.vmap(
                 lambda sf: fused_cwt(sf, scales.astype(jnp.float32), mother=mother,
-                                     nfft=nfft, dt=float(dt))
+                                     nfft=nfft, dt=float(dt),
+                                     precision=config.precision)
             )(signal_ft.astype(jnp.complex64))
             return W_full[..., : signals.shape[-1]], signal_ft
         engine = "mxu"

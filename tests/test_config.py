@@ -1,5 +1,6 @@
 """Padding-policy / dtype-policy config tests."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -45,3 +46,13 @@ def test_dtype_policy_follows_x64():
     assert DEFAULT.complex_dtype == jnp.complex128
     f32cfg = CWTConfig(dtype=jnp.float32)
     assert f32cfg.complex_dtype == jnp.complex64
+
+
+def test_precision_ladder_validation():
+    """CWTConfig.precision: three-tier ladder, validated at construction;
+    default is the measured-invisible 'high' (bf16x2) tier (BASELINE.md)."""
+    assert DEFAULT.precision == "high"
+    for tier in ("highest", "high", "fast"):
+        assert CWTConfig(precision=tier).precision == tier
+    with pytest.raises(ValueError):
+        CWTConfig(precision="exact")
