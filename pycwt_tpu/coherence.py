@@ -257,13 +257,25 @@ def _mc_histogram_chunk(key, start, scales, outsidecoi, dt, *, mother: Mother,
     # (wavelet.py:628), clipped for safety at R2 >= 1.
     bins = jnp.clip(jnp.floor(R2 * NBINS).astype(jnp.int32), 0, NBINS - 1)
     S = scales.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (batch, S, n), 1)
-    flat = (rows * NBINS + bins).reshape(-1)
-    weights = jnp.broadcast_to(outsidecoi[None, :, :], (batch, S, n)).reshape(-1)
-    hist = jnp.zeros((S * NBINS,), dtype=jnp.float32).at[flat].add(
-        weights.astype(jnp.float32)
-    )
-    return hist.reshape(S, NBINS)
+    # Histogram WITHOUT scatter: TPU scatter-add over the batch·S·n indices
+    # measured 44 ms of the 60 ms MC chunk (73%; tools/tpu_profile_mc.py).
+    # Factor each bin index into 5-bit halves over a 1024-padded bin axis and
+    # contract the two {0,1} one-hots on the MXU:
+    #     counts[s, 32·kh + kl] = Σ_{b,t} oc[s,t] · δ(hi−kh) · δ(lo−kl)
+    # One-hot entries and the COI mask are exact in bf16 and per-chunk counts
+    # (≤ batch·n < 2^24) accumulate exactly in f32, so this is bit-identical
+    # to the scatter formulation — pure MXU instead of serialized scatter.
+    hi = (bins >> 5)[..., None]                       # (batch, S, n, 1)
+    lo = (bins & 31)[..., None]
+    kidx = jnp.arange(32, dtype=jnp.int32)
+    mask = outsidecoi.astype(jnp.bfloat16)[None, :, :, None]
+    h_hi = (hi == kidx).astype(jnp.bfloat16) * mask   # (batch, S, n, 32)
+    h_lo = (lo == kidx).astype(jnp.bfloat16)
+    counts = jnp.einsum(
+        "bsnh,bsnl->shl", h_hi, h_lo,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)          # (S, 32, 32) exact
+    return counts.reshape(S, 1024)[:, :NBINS]
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj",

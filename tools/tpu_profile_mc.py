@@ -135,7 +135,9 @@ def stage_coherence(start):
     return _coherence(start).sum()
 
 
-def stage_full(start):
+def stage_scatter_hist(start):
+    """The round-2 scatter-add histogram formulation, kept for comparison
+    against the library's MXU factored-one-hot histogram (stage_full)."""
     R2 = _coherence(start)
     bins = jnp.clip(jnp.floor(R2 * NBINS).astype(jnp.int32), 0, NBINS - 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (BATCH, S, n), 1)
@@ -146,11 +148,24 @@ def stage_full(start):
     return hist.sum()
 
 
+def stage_full(start):
+    """THE library chunk (coherence._mc_histogram_chunk) — measures exactly
+    what wct_significance dispatches, including the histogram formulation
+    that actually ships."""
+    from pycwt_tpu.coherence import _mc_histogram_chunk
+
+    h = _mc_histogram_chunk(
+        key, start, scales, outsidecoi.astype(jnp.float32), dt, mother=mother,
+        nfft=nfft, dj=dj, batch=BATCH, n=n, al1=al1, al2=al2, engine="planar")
+    return h.sum()
+
+
 STAGES = [
     ("surrogates", stage_surrogates),
     ("+cwt", stage_cwt),
     ("+smooth", stage_smooth),
     ("+coherence", stage_coherence),
+    ("+scatter-hist (round-2 formulation)", stage_scatter_hist),
     ("+histogram (full chunk)", stage_full),
 ]
 
