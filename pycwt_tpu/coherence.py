@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .config import CWTConfig, DEFAULT
 from .mothers import Mother, as_mother
-from .ops.smoothing import smooth, smooth_planar_real
+from .ops.smoothing import smooth, smooth_planar_pair, smooth_planar_real
 from .ops.special import chi2_ppf
 from .stats import ar1, ar1_spectrum, rednoise_members
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
@@ -125,12 +125,16 @@ def _wct_core_planar(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
     w1r, w1i = planar_w(y1n)
     w2r, w2i = planar_w(y2n)
     s_col = scales[:, None]
-    S1 = smooth_planar_real((w1r ** 2 + w1i ** 2) / s_col, dt, dj, scales, mother)
-    S2 = smooth_planar_real((w2r ** 2 + w2i ** 2) / s_col, dt, dj, scales, mother)
+    # Two plane-packed smoothing calls instead of four single-plane ones
+    # (ops.smoothing.smooth_planar_pair): same math by linearity, 2/3 the
+    # stage einsums.
+    S1, S2 = smooth_planar_pair((w1r ** 2 + w1i ** 2) / s_col,
+                                (w2r ** 2 + w2i ** 2) / s_col,
+                                dt, dj, scales, mother)
     w12r = w1r * w2r + w1i * w2i          # W1 · conj(W2), planar
     w12i = w1i * w2r - w1r * w2i
-    S12r = smooth_planar_real(w12r / s_col, dt, dj, scales, mother)
-    S12i = smooth_planar_real(w12i / s_col, dt, dj, scales, mother)
+    S12r, S12i = smooth_planar_pair(w12r / s_col, w12i / s_col,
+                                    dt, dj, scales, mother)
     WCT = (S12r ** 2 + S12i ** 2) / (S1 * S2)
     aWCT = jnp.arctan2(w12i, w12r)
     return WCT, aWCT, (w12r, w12i)

@@ -28,8 +28,9 @@ from ..config import next_pow2
 from ..mothers import Mother
 from .fft import fft as engine_fft, ifft as engine_ifft
 
-__all__ = ["smooth", "smooth_planar_real", "smooth_scale_sharded",
-           "rect_window", "scale_boxcar_same", "scale_boxcar_same_sharded"]
+__all__ = ["smooth", "smooth_planar_real", "smooth_planar_pair",
+           "smooth_scale_sharded", "rect_window", "scale_boxcar_same",
+           "scale_boxcar_same_sharded"]
 
 
 def rect_window(width: int, normalize: bool = True) -> np.ndarray:
@@ -78,36 +79,74 @@ def scale_boxcar_same(T, win: np.ndarray):
     return out
 
 
-def smooth_planar_real(T, dt: float, dj: float, scales, mother: Mother):
-    """:func:`smooth` for a REAL ``(..., S, N)`` array with NO complex dtype
-    anywhere: the time Gaussian rides the planar MXU DFT and the scale boxcar
-    is real arithmetic.  A complex field is smoothed by calling this on each
-    plane (the smoothing kernel is real, so it commutes with Re/Im).
-
-    This is the WCT-smoothing path for runtimes whose complex64 support is
-    missing or flapping (see ``ops/fft.py``); numerically it matches
-    :func:`smooth` to planar-DFT round-off.
-    """
+def _scale_window(mother: Mother, dj: float) -> np.ndarray:
     if mother.deltaj0 == -1:
         raise ValueError(
             f"deltaj0 is not tabulated for {mother.name} with these parameters; "
             "cannot build the scale-smoothing window (TC98 Table 2)."
         )
+    wsize = mother.deltaj0 / dj * 2
+    return rect_window(int(round_half_even_np(wsize)), normalize=True)
+
+
+def smooth_planar_real(T, dt: float, dj: float, scales, mother: Mother,
+                       precision=None):
+    """:func:`smooth` for a REAL ``(..., S, N)`` array with NO complex dtype
+    anywhere: the time Gaussian rides the planar MXU DFT and the scale boxcar
+    is real arithmetic.  A complex field is smoothed by calling this on each
+    plane (the smoothing kernel is real, so it commutes with Re/Im) — or, at
+    ~2/3 the einsum count, by :func:`smooth_planar_pair`.
+
+    This is the WCT-smoothing path for runtimes whose complex64 support is
+    missing or flapping (see ``ops/fft.py``); numerically it matches
+    :func:`smooth` to planar-DFT round-off.
+    """
+    win = _scale_window(mother, dj)
     from .mxu_dft import _dft_planar
 
+    precision = jax.lax.Precision.HIGHEST if precision is None else precision
     n = T.shape[-1]
     nfft = next_pow2(n)
     pad = [(0, 0)] * (T.ndim - 1) + [(0, nfft - n)]
     Tp = jnp.pad(T, pad)
-    yr, yi = _dft_planar(Tp, None, nfft, -1, jax.lax.Precision.HIGHEST)
+    yr, yi = _dft_planar(Tp, None, nfft, -1, precision)
     k = (2 * jnp.pi) * jnp.fft.fftfreq(nfft).astype(T.dtype)
     snorm = jnp.asarray(scales) / dt
     F = jnp.exp(-0.5 * (snorm[:, None] ** 2) * (k ** 2)[None, :])
-    zr, _ = _dft_planar(F * yr, F * yi, nfft, +1, jax.lax.Precision.HIGHEST)
+    zr, _ = _dft_planar(F * yr, F * yi, nfft, +1, precision)
     sm = (zr / nfft)[..., :n]
-    wsize = mother.deltaj0 / dj * 2
-    win = rect_window(int(round_half_even_np(wsize)), normalize=True)
     return scale_boxcar_same(sm, win)
+
+
+def smooth_planar_pair(Ta, Tb, dt: float, dj: float, scales, mother: Mother,
+                       precision=None):
+    """Smooth TWO real ``(..., S, N)`` planes with ONE complex planar DFT
+    pair (the classic two-real-FFTs-in-one-complex-FFT packing): with
+    ``x = Ta + i·Tb``, the real smoothing kernel commutes with Re/Im, so
+    ``smooth(x) = smooth(Ta) + i·smooth(Tb)`` and the planar inverse's two
+    output planes ARE the two smoothed fields.  Bit-compatible with calling
+    :func:`smooth_planar_real` twice up to matmul reassociation (~f32
+    round-off); 16 vs 24 stage-einsums for the pair.
+
+    The WCT/MC hot path (``coherence._wct_core_planar``) packs
+    (|W1|², |W2|²) and (Re W12, Im W12) this way.
+    """
+    win = _scale_window(mother, dj)
+    from .mxu_dft import _dft_planar
+
+    precision = jax.lax.Precision.HIGHEST if precision is None else precision
+    n = Ta.shape[-1]
+    nfft = next_pow2(n)
+    pad = [(0, 0)] * (Ta.ndim - 1) + [(0, nfft - n)]
+    yr, yi = _dft_planar(jnp.pad(Ta, pad), jnp.pad(Tb, pad), nfft, -1,
+                         precision)
+    k = (2 * jnp.pi) * jnp.fft.fftfreq(nfft).astype(Ta.dtype)
+    snorm = jnp.asarray(scales) / dt
+    F = jnp.exp(-0.5 * (snorm[:, None] ** 2) * (k ** 2)[None, :])
+    zr, zi = _dft_planar(F * yr, F * yi, nfft, +1, precision)
+    sa = (zr / nfft)[..., :n]
+    sb = (zi / nfft)[..., :n]
+    return scale_boxcar_same(sa, win), scale_boxcar_same(sb, win)
 
 
 def scale_boxcar_same_sharded(T, win: np.ndarray, axis_name: str = "scale"):

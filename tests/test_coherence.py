@@ -109,3 +109,25 @@ def test_planar_engine_warns_on_f64():
     cfg = CWTConfig(engine="planar")  # x64 on (conftest) → f64 inputs
     with pytest.warns(UserWarning, match="float32"):
         wt.wct(y1, y2, 1.0, sig=False, config=cfg)
+
+
+def test_smooth_planar_pair_matches_single_plane():
+    """smooth_planar_pair (two real planes in one complex planar DFT) equals
+    two smooth_planar_real calls to f32 round-off — the linearity packing the
+    WCT/MC hot path relies on (coherence._wct_core_planar)."""
+    import jax.numpy as jnp
+
+    from pycwt_tpu.ops.smoothing import smooth_planar_pair, smooth_planar_real
+
+    rng = np.random.default_rng(3)
+    S, N = 12, 300
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(S) * 0.25), jnp.float32)
+    Ta = jnp.asarray(rng.standard_normal((S, N)), jnp.float32)
+    Tb = jnp.asarray(rng.standard_normal((S, N)), jnp.float32)
+    mother = wt.Morlet(6)
+    sa_ref = np.asarray(smooth_planar_real(Ta, 0.25, 1 / 8, scales, mother))
+    sb_ref = np.asarray(smooth_planar_real(Tb, 0.25, 1 / 8, scales, mother))
+    sa, sb = smooth_planar_pair(Ta, Tb, 0.25, 1 / 8, scales, mother)
+    scale = max(np.abs(sa_ref).max(), np.abs(sb_ref).max())
+    np.testing.assert_allclose(np.asarray(sa), sa_ref, atol=1e-5 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(sb), sb_ref, atol=1e-5 * scale, rtol=0)
