@@ -131,3 +131,21 @@ def test_smooth_planar_pair_matches_single_plane():
     scale = max(np.abs(sa_ref).max(), np.abs(sb_ref).max())
     np.testing.assert_allclose(np.asarray(sa), sa_ref, atol=1e-5 * scale, rtol=0)
     np.testing.assert_allclose(np.asarray(sb), sb_ref, atol=1e-5 * scale, rtol=0)
+
+
+def test_wct_pairs_matches_per_pair_wct():
+    """wct_pairs (B pairs, one dispatch) equals B independent wct calls —
+    the batched public surface the reference has no counterpart for."""
+    rng = np.random.default_rng(11)
+    B, N = 3, 240
+    y1 = rng.standard_normal((B, N))
+    y2 = 0.4 * y1 + rng.standard_normal((B, N))
+    Wb, ab, coi, freq = wt.wct_pairs(y1, y2, 0.25, dj=1 / 8)
+    assert Wb.shape == ab.shape and Wb.shape[0] == B
+    for b in range(B):
+        W1, a1_, coi1, freq1, _ = wt.wct(y1[b], y2[b], 0.25, dj=1 / 8,
+                                         sig=False)
+        np.testing.assert_allclose(Wb[b], W1, rtol=0, atol=1e-10)
+        np.testing.assert_allclose(ab[b], a1_, rtol=0, atol=1e-10)
+        np.testing.assert_allclose(coi, coi1)
+        np.testing.assert_allclose(freq, freq1)
