@@ -21,7 +21,7 @@ from .mothers import as_mother
 from .stats import significance  # noqa: F401  (re-exported, implemented in stats)
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
 
-__all__ = ["cwt", "icwt", "significance"]
+__all__ = ["cwt", "cwt_power", "icwt", "significance"]
 
 
 def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None,
@@ -75,6 +75,58 @@ def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None,
         signal_ft[1 : nfft // 2] / nfft ** 0.5,
         ftfreqs_np[1 : nfft // 2] / (2 * np.pi),
     )
+
+
+def cwt_power(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
+              freqs=None, config: CWTConfig = DEFAULT):
+    """Wavelet power ``|W|²`` with a COMPLEX-FREE device path.
+
+    Same grid/COI/NaN-row semantics as :func:`cwt` (reference
+    ``wavelet.py:13-124`` + the TC98 Fig-1 power map), but under
+    ``engine="planar"`` the whole computation — forward DFT, fused CWT,
+    squaring — runs on ``(re, im)`` f32 planes with no complex dtype
+    anywhere.  That makes it the transform surface of choice on runtimes
+    whose complex64 support is missing (the tunneled axon TPU — see
+    ``ops/fft.py``), where :func:`cwt`'s complex return value cannot even be
+    constructed on device.
+
+    Returns ``(power, sj, freqs, coi)`` with ``power`` of shape
+    ``(n_scales, n0)`` — equal to ``np.abs(cwt(...)[0]) ** 2`` to f32
+    round-off.
+    """
+    from .ops.fft import resolve_engine
+    from .ops.mxu_dft import fft_of_real_planar, supported_n
+    from .ops.pallas_fft import fused_cwt_planar
+
+    mother = as_mother(wavelet)
+    signal = np.asarray(signal)
+    n0 = len(signal)
+
+    grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother, freqs=freqs)
+    sj, out_freqs = grid.sj, grid.freqs
+
+    nfft = config.fft_length(n0)
+    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
+    bad = mother.reference_nan_rows(sj, ftfreqs_np)
+    if (~bad).any():
+        sj = sj[~bad]
+        out_freqs = out_freqs[~bad]
+    coi = coi_bartlett(n0, dt, mother)
+
+    engine = resolve_engine(config.engine)
+    if engine == "planar" and supported_n(nfft):
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        sr, si = fft_of_real_planar(jnp.asarray(signal, jnp.float32), nfft)
+        wr, wi = fused_cwt_planar(
+            sr, si, jnp.asarray(sj, jnp.float32), mother=mother, nfft=nfft,
+            dt=float(dt), interpret=interpret, precision=config.precision)
+        power = np.asarray(wr[:, :n0]) ** 2 + np.asarray(wi[:, :n0]) ** 2
+    else:
+        W, sj, out_freqs, coi, _, _ = cwt(signal, dt, dj=dj, s0=s0, J=J,
+                                          wavelet=mother, freqs=freqs,
+                                          config=config)
+        power = np.abs(W) ** 2
+    return power, sj, out_freqs, coi
 
 
 def icwt(W, sj, dt, dj=1 / 12, wavelet="morlet"):

@@ -32,7 +32,7 @@ from .stats import ar1, ar1_spectrum, rednoise_members
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
 from .utils.helpers import find, get_cache_dir
 
-__all__ = ["xwt", "wct", "wct_pairs", "wct_significance"]
+__all__ = ["xwt", "xwt_pairs", "wct", "wct_pairs", "wct_significance"]
 
 NBINS = 1000  # histogram resolution of the MC coherence CDF (wavelet.py:606)
 
@@ -234,6 +234,63 @@ def wct(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, sig=True, significance_level=0.95,
         sig_out = np.asarray([0])
 
     return WCT, aWCT, coi, freq, sig_out
+
+
+def xwt_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
+              wavelet="morlet", normalize=True, config: CWTConfig = DEFAULT):
+    """Cross-wavelet transform of ``B`` signal pairs in one jitted dispatch
+    (batched :func:`xwt`; the reference computes one pair per call,
+    ``wavelet.py:316-419``).
+
+    ``y1, y2``: ``(B, n0)``.  Returns ``(W12, coi, freq, signif)`` with
+    ``W12`` of shape ``(B, S, n0)`` (complex) and ``signif`` ``(B, S)`` — the
+    per-pair theoretical AR(1) significance, with the reference's semantics
+    (AR(1) fitted on the RAW inputs; ``std1·std2·sqrt(Pk1·Pk2)·PPF/dof``).
+    """
+    mother = as_mother(wavelet)
+    y1 = np.asarray(y1)
+    y2 = np.asarray(y2)
+    if y1.ndim != 2 or y1.shape != y2.shape:
+        raise ValueError(
+            f"xwt_pairs expects matching (B, n0) arrays, got {y1.shape} "
+            f"vs {y2.shape}")
+    n0 = y1.shape[-1]
+    if s0 == -1:
+        s0 = 2 * dt / mother.flambda()
+    if J == -1:
+        J = int(np.round(np.log2(n0 * dt / s0) / dj))
+
+    std1 = y1.std(-1)
+    std2 = y2.std(-1)
+    if normalize:
+        y1_n = (y1 - y1.mean(-1, keepdims=True)) / std1[:, None]
+        y2_n = (y2 - y2.mean(-1, keepdims=True)) / std2[:, None]
+    else:
+        y1_n, y2_n = y1, y2
+
+    grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
+    nfft = config.fft_length(n0)
+    rdt = config.real_dtype
+    W1, _ = cwt_batch(jnp.asarray(y1_n, rdt), jnp.asarray(grid.sj, rdt), dt,
+                      mother=mother, nfft=nfft, engine=config.engine)
+    W2, _ = cwt_batch(jnp.asarray(y2_n, rdt), jnp.asarray(grid.sj, rdt), dt,
+                      mother=mother, nfft=nfft, engine=config.engine)
+    W12 = np.asarray(W1) * np.asarray(W2).conj()
+
+    if normalize:
+        std1 = std2 = np.ones_like(std1)
+    dof = mother.dofmin
+    PPF = float(np.asarray(chi2_ppf(jnp.asarray(significance_level,
+                                                dtype=_host_float()), dof)))
+    signif = np.empty((len(y1), len(grid.sj)))
+    for b in range(len(y1)):
+        a1, _, _ = ar1(y1[b])
+        a2, _, _ = ar1(y2[b])
+        Pk1 = ar1_spectrum(grid.freqs * dt, a1)
+        Pk2 = ar1_spectrum(grid.freqs * dt, a2)
+        signif[b] = std1[b] * std2[b] * (Pk1 * Pk2) ** 0.5 * PPF / dof
+    coi = coi_bartlett(n0, dt, mother)
+    return W12, coi, grid.freqs, signif
 
 
 def wct_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",

@@ -149,3 +149,18 @@ def test_wct_pairs_matches_per_pair_wct():
         np.testing.assert_allclose(ab[b], a1_, rtol=0, atol=1e-10)
         np.testing.assert_allclose(coi, coi1)
         np.testing.assert_allclose(freq, freq1)
+
+
+def test_xwt_pairs_matches_per_pair_xwt():
+    """xwt_pairs equals B independent xwt calls (values + significance)."""
+    rng = np.random.default_rng(12)
+    B, N = 3, 220
+    y1 = rng.standard_normal((B, N))
+    y2 = 0.3 * y1 + rng.standard_normal((B, N))
+    Wb, coi, freq, sigb = wt.xwt_pairs(y1, y2, 0.5, dj=1 / 8)
+    assert Wb.shape[0] == B and sigb.shape[0] == B
+    for b in range(B):
+        W1, coi1, freq1, sig1 = wt.xwt(y1[b], y2[b], 0.5, dj=1 / 8)
+        np.testing.assert_allclose(Wb[b], W1, rtol=0, atol=1e-10)
+        np.testing.assert_allclose(sigb[b], sig1, rtol=1e-12)
+        np.testing.assert_allclose(coi, coi1)

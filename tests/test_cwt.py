@@ -113,3 +113,24 @@ def test_batched_matches_single():
     for i in range(4):
         Wi, *_ = wt.cwt(X[i], 0.5)
         assert rel_err(Wb[i], Wi) < 1e-12
+
+
+def test_cwt_power_matches_cwt_abs2():
+    """cwt_power (complex-free device path under engine='planar') equals
+    |cwt|^2 — the transform surface for complex-free runtimes."""
+    import pycwt_tpu as wt
+    from pycwt_tpu.config import CWTConfig
+
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal(400)
+    W, sj, freqs, coi, _, _ = wt.cwt(x, 0.25, dj=1 / 8)
+    ref = np.abs(W) ** 2
+    p, sj2, freqs2, coi2 = wt.cwt_power(
+        x, 0.25, dj=1 / 8, config=CWTConfig(engine="planar"))
+    np.testing.assert_allclose(sj2, sj)
+    np.testing.assert_allclose(coi2, coi)
+    scale = ref.max()
+    np.testing.assert_allclose(p, ref, atol=2e-5 * scale, rtol=0)
+    # non-planar fallback branch
+    p2, *_ = wt.cwt_power(x, 0.25, dj=1 / 8, config=CWTConfig(engine="xla"))
+    np.testing.assert_allclose(p2, ref, rtol=1e-12)
