@@ -58,25 +58,41 @@ def time_gaussian_smooth(W, scales, dt: float, nfft: int, *, engine: str | None 
     return out.real if real_in else out
 
 
+@functools.lru_cache(maxsize=64)
+def _boxcar_band_matrix(S: int, win_key: tuple, f64: bool):
+    """Dense (S, S) 'same'-convolution operator for the scale boxcar:
+    ``M[i, t] = win[i + start - t]`` (zero outside the window), so the
+    L-term shifted-slice sum collapses into one matmul along the scale axis.
+    """
+    win = np.asarray(win_key, np.float64)
+    L = len(win)
+    start = (L - 1) // 2
+    M = np.zeros((S, S), np.float64)
+    for i in range(S):
+        for t in range(max(0, i + start - (L - 1)), min(S, i + start + 1)):
+            M[i, t] = win[i + start - t]
+    return M if f64 else M.astype(np.float32)
+
+
 def scale_boxcar_same(T, win: np.ndarray):
     """'same'-mode convolution along the scale axis (axis −2), matching
     ``scipy.signal.convolve2d(T, win[:, None], 'same')``
     (reference ``mothers.py:102``) including the even-width centering.
+
+    Implemented as ONE banded-matrix contraction over the (small) scale axis
+    instead of an L-term shifted-slice loop — one MXU op on TPU.
     """
     L = len(win)
     if L == 1:
         return T * win[0]
     S = T.shape[-2]
-    pad = [(0, 0)] * (T.ndim - 2) + [(L - 1, L - 1), (0, 0)]
-    Tp = jnp.pad(T, pad)
-    start = (L - 1) // 2
-    w = jnp.asarray(win, dtype=T.real.dtype if jnp.iscomplexobj(T) else T.dtype)
-    out = None
-    for j in range(L):
-        lo = start + L - 1 - j
-        term = w[j] * jax.lax.slice_in_dim(Tp, lo, lo + S, axis=T.ndim - 2)
-        out = term if out is None else out + term
-    return out
+    rdt = T.real.dtype if jnp.iscomplexobj(T) else T.dtype
+    M = jnp.asarray(_boxcar_band_matrix(S, tuple(np.asarray(win).tolist()),
+                                        jnp.dtype(rdt) == jnp.float64),
+                    dtype=rdt)
+    return jnp.einsum("st,...tn->...sn", M, T,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=T.dtype)
 
 
 def _scale_window(mother: Mother, dj: float) -> np.ndarray:
