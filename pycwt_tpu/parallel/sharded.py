@@ -33,6 +33,7 @@ __all__ = [
     "sharded_cwt",
     "sharded_power_pipeline",
     "sharded_wct",
+    "sharded_wct_pairs",
     "sharded_mc_histogram",
 ]
 
@@ -180,6 +181,38 @@ def sharded_wct(mesh: Mesh, y1, y2, scales, dt, dj, *, mother: Mother, nfft: int
     y1 = jax.device_put(y1, ds)
     y2 = jax.device_put(y2, ds)
     return jax.jit(fn)(y1, y2, jnp.asarray(scales))
+
+
+def sharded_wct_pairs(mesh: Mesh, y1, y2, scales, dt, dj, *,
+                      mother: Mother, nfft: int, engine: str | None = None):
+    """``B`` independent coherence pairs data-parallel over the mesh: each
+    chip runs the FULL WCT pipeline (CWTs, smoothings, coherence) on its
+    shard of the pair axis with the scale grid replicated — zero
+    communication, linear scaling in pairs.  The embarrassingly-parallel
+    counterpart to :func:`sharded_wct` (which shards the scale axis of ONE
+    pair); compose with :func:`pycwt_tpu.coherence.wct_significance` for the
+    per-pair null curves.
+
+    ``y1, y2``: ``(B, n0)`` already-normalized (or raw — normalization is
+    per-pair inside the step).  Returns ``(WCT, aWCT)`` sharded
+    ``P('data', None, None)``.
+    """
+    from ..coherence import _wct_core
+
+    scales_j = jax.device_put(jnp.asarray(scales),
+                              NamedSharding(mesh, P()))
+
+    def step(a, b):
+        a = (a - a.mean(-1, keepdims=True)) / a.std(-1, keepdims=True)
+        b = (b - b.mean(-1, keepdims=True)) / b.std(-1, keepdims=True)
+        WCT, aWCT, _ = _wct_core(a, b, scales_j, dt, mother=mother,
+                                 nfft=nfft, dj=dj, engine=engine)
+        return WCT, aWCT
+
+    ds = NamedSharding(mesh, P("data", None))
+    out = NamedSharding(mesh, P("data", None, None))
+    fn = jax.jit(step, in_shardings=(ds, ds), out_shardings=(out, out))
+    return fn(jnp.asarray(y1), jnp.asarray(y2))
 
 
 def sharded_mc_histogram(mesh: Mesh, key, scales, outsidecoi, dt, *,

@@ -172,3 +172,24 @@ def test_mc_histogram_cross_mesh_determinism(workload):
     )
     np.testing.assert_array_equal(h8, h2)
     np.testing.assert_array_equal(h8, h_host)
+
+
+def test_sharded_wct_pairs_equals_host():
+    """B pairs data-parallel over an 8-device mesh == unsharded wct_pairs."""
+    from pycwt_tpu.parallel.mesh import MeshSpec, make_mesh
+    from pycwt_tpu.parallel.sharded import sharded_wct_pairs
+    from pycwt_tpu.transform import build_scale_grid
+
+    rng = np.random.default_rng(17)
+    B, N = 8, 256
+    y1 = rng.standard_normal((B, N))
+    y2 = 0.5 * y1 + rng.standard_normal((B, N))
+    mother = wt.Morlet(6)
+    grid = build_scale_grid(N, 1.0, dj=1 / 6, mother=mother)
+    mesh = make_mesh(MeshSpec(data=8))
+    Wsh, ash = sharded_wct_pairs(mesh, y1, y2, grid.sj, 1.0, 1 / 6,
+                                 mother=mother, nfft=256)
+    Wref, aref, _, _ = wt.wct_pairs(y1, y2, 1.0, dj=1 / 6, s0=grid.sj[0],
+                                    J=len(grid.sj) - 1)
+    np.testing.assert_allclose(np.asarray(Wsh), Wref, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ash), aref, rtol=0, atol=1e-10)
