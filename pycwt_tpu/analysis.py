@@ -141,8 +141,24 @@ def cwt_analysis(
         except Warning:
             alpha = 0.0  # white-noise fallback, as the sample scripts do
 
-    W, sj, freqs, coi, _, _ = api.cwt(x, dt, dj=dj, s0=s0, J=J, wavelet=mother)
-    power = np.abs(W) ** 2
+    # On complex-free runtimes (engine resolves "planar" — e.g. the tunneled
+    # axon TPU, where complex64 is UNIMPLEMENTED) the whole flow still runs:
+    # power from the planar planes, and the inverse transform needs only
+    # Re W (api.icwt takes np.real), so wr stands in for W.
+    from .config import DEFAULT as _CFG
+    from .ops.fft import resolve_engine
+    from .ops.mxu_dft import supported_n
+
+    nfft = _CFG.fft_length(n0)
+    if resolve_engine(_CFG.engine) == "planar" and supported_n(nfft):
+        wr, wi, sj, freqs, coi = api._cwt_planar_parts(
+            x, dt, dj=dj, s0=s0, J=J, wavelet=mother)
+        power = wr ** 2 + wi ** 2
+        W = wr  # icwt uses np.real(W) only
+    else:
+        W, sj, freqs, coi, _, _ = api.cwt(x, dt, dj=dj, s0=s0, J=J,
+                                          wavelet=mother)
+        power = np.abs(W) ** 2
     period = 1.0 / freqs
 
     signif, _ = api.significance(1.0, dt, sj, 0, alpha=alpha,

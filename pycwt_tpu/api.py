@@ -77,6 +77,40 @@ def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None,
     )
 
 
+def _cwt_planar_parts(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
+                      freqs=None, config: CWTConfig = DEFAULT):
+    """The :func:`cwt` pipeline with PLANAR output: ``(wr, wi, sj, freqs,
+    coi)``, each plane ``(n_scales, n0)`` f32, computed with no complex dtype
+    anywhere (same grid/COI/NaN-row semantics as :func:`cwt`).  Requires a
+    pow-2 ``nfft``; callers gate on :func:`pycwt_tpu.ops.mxu_dft.supported_n`.
+    """
+    from .ops.mxu_dft import fft_of_real_planar
+    from .ops.pallas_fft import fused_cwt_planar
+
+    mother = as_mother(wavelet)
+    signal = np.asarray(signal)
+    n0 = len(signal)
+
+    grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother, freqs=freqs)
+    sj, out_freqs = grid.sj, grid.freqs
+
+    nfft = config.fft_length(n0)
+    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
+    bad = mother.reference_nan_rows(sj, ftfreqs_np)
+    if (~bad).any():
+        sj = sj[~bad]
+        out_freqs = out_freqs[~bad]
+    coi = coi_bartlett(n0, dt, mother)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    sr, si = fft_of_real_planar(jnp.asarray(signal, jnp.float32), nfft)
+    wr, wi = fused_cwt_planar(
+        sr, si, jnp.asarray(sj, jnp.float32), mother=mother, nfft=nfft,
+        dt=float(dt), interpret=interpret, precision=config.precision)
+    return (np.asarray(wr[:, :n0]), np.asarray(wi[:, :n0]), sj, out_freqs,
+            coi)
+
+
 def cwt_power(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
               freqs=None, config: CWTConfig = DEFAULT):
     """Wavelet power ``|W|²`` with a COMPLEX-FREE device path.
@@ -95,35 +129,18 @@ def cwt_power(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
     round-off.
     """
     from .ops.fft import resolve_engine
-    from .ops.mxu_dft import fft_of_real_planar, supported_n
-    from .ops.pallas_fft import fused_cwt_planar
+    from .ops.mxu_dft import supported_n
 
-    mother = as_mother(wavelet)
-    signal = np.asarray(signal)
-    n0 = len(signal)
-
-    grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother, freqs=freqs)
-    sj, out_freqs = grid.sj, grid.freqs
-
-    nfft = config.fft_length(n0)
-    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
-    bad = mother.reference_nan_rows(sj, ftfreqs_np)
-    if (~bad).any():
-        sj = sj[~bad]
-        out_freqs = out_freqs[~bad]
-    coi = coi_bartlett(n0, dt, mother)
-
+    nfft = config.fft_length(len(np.asarray(signal)))
     engine = resolve_engine(config.engine)
     if engine == "planar" and supported_n(nfft):
-        interpret = jax.default_backend() not in ("tpu", "axon")
-        sr, si = fft_of_real_planar(jnp.asarray(signal, jnp.float32), nfft)
-        wr, wi = fused_cwt_planar(
-            sr, si, jnp.asarray(sj, jnp.float32), mother=mother, nfft=nfft,
-            dt=float(dt), interpret=interpret, precision=config.precision)
-        power = np.asarray(wr[:, :n0]) ** 2 + np.asarray(wi[:, :n0]) ** 2
+        wr, wi, sj, out_freqs, coi = _cwt_planar_parts(
+            signal, dt, dj=dj, s0=s0, J=J, wavelet=wavelet, freqs=freqs,
+            config=config)
+        power = wr ** 2 + wi ** 2
     else:
         W, sj, out_freqs, coi, _, _ = cwt(signal, dt, dj=dj, s0=s0, J=J,
-                                          wavelet=mother, freqs=freqs,
+                                          wavelet=wavelet, freqs=freqs,
                                           config=config)
         power = np.abs(W) ** 2
     return power, sj, out_freqs, coi

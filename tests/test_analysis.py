@@ -103,3 +103,21 @@ def test_figure_arrays_golden_jao_jbaltic(golden):
     np.testing.assert_allclose(x["coi"], g["xwt_coi"], rtol=1e-10)
     np.testing.assert_allclose(w["WCT"], g["wct"], rtol=1e-10)
     np.testing.assert_allclose(w["phase"], g["wct_phase"], rtol=1e-10)
+
+
+def test_cwt_analysis_planar_engine_matches(monkeypatch):
+    """cwt_analysis under the planar engine (complex-free runtimes) matches
+    the complex path to f32 round-off across every output field."""
+    import pycwt_tpu.sample.dataset as dsm
+    from pycwt_tpu.analysis import cwt_analysis
+
+    ds = dsm.load("nino3")
+    ref = cwt_analysis(ds.values, ds.dt, t0=ds.t0)
+    monkeypatch.setenv("PYCWT_TPU_ENGINE", "planar")
+    got = cwt_analysis(ds.values, ds.dt, t0=ds.t0)
+    for field in ("power", "sig95", "global_power", "scale_avg", "iwave"):
+        a = getattr(got, field)
+        b = getattr(ref, field)
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, atol=5e-5 * scale, rtol=0,
+                                   err_msg=field)
