@@ -32,7 +32,8 @@ from .stats import ar1, ar1_spectrum, rednoise_members
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
 from .utils.helpers import find, get_cache_dir
 
-__all__ = ["xwt", "xwt_pairs", "wct", "wct_pairs", "wct_significance"]
+__all__ = ["xwt", "xwt_pairs", "xwt_planar", "wct", "wct_pairs",
+           "wct_significance"]
 
 NBINS = 1000  # histogram resolution of the MC coherence CDF (wavelet.py:606)
 
@@ -77,6 +78,53 @@ def xwt(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
                                                 dtype=_host_float()), dof)))
     signif = std1 * std2 * (Pk1 * Pk2) ** 0.5 * PPF / dof
     return W12, coi, freq, signif
+
+
+def xwt_planar(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
+               wavelet="morlet", normalize=True, config: CWTConfig = DEFAULT):
+    """:func:`xwt` for COMPLEX-FREE runtimes: cross-wavelet magnitude and
+    phase computed entirely on ``(re, im)`` f32 planes (no complex dtype on
+    device — usable where :func:`xwt`'s complex ``W12`` cannot be
+    constructed, e.g. the tunneled axon TPU; see ``ops/fft.py``).
+
+    Returns ``(mag, phase, coi, freq, signif)`` where ``mag = |W12|`` and
+    ``phase = arg W12`` (radians) — together equivalent to :func:`xwt`'s
+    complex ``W12`` to f32 round-off; ``signif`` follows the reference's
+    theoretical AR(1) formula exactly (``wavelet.py:316-419``).
+    """
+    from .api import _cwt_planar_parts
+
+    mother = as_mother(wavelet)
+    y1 = np.asarray(y1)
+    y2 = np.asarray(y2)
+    std1 = y1.std()
+    std2 = y2.std()
+    if normalize:
+        y1_n = (y1 - y1.mean()) / std1
+        y2_n = (y2 - y2.mean()) / std2
+    else:
+        y1_n, y2_n = y1, y2
+
+    kw = dict(dj=dj, s0=s0, J=J, wavelet=mother, config=config)
+    w1r, w1i, sj, freq, coi = _cwt_planar_parts(y1_n, dt, **kw)
+    w2r, w2i, _, _, _ = _cwt_planar_parts(y2_n, dt, **kw)
+
+    w12r = w1r * w2r + w1i * w2i          # W1 · conj(W2), planar
+    w12i = w1i * w2r - w1r * w2i
+    mag = np.hypot(w12r, w12i)
+    phase = np.arctan2(w12i, w12r)
+
+    if normalize:
+        std1 = std2 = 1.0
+    a1, _, _ = ar1(y1)
+    a2, _, _ = ar1(y2)
+    Pk1 = ar1_spectrum(freq * dt, a1)
+    Pk2 = ar1_spectrum(freq * dt, a2)
+    dof = mother.dofmin
+    PPF = float(np.asarray(chi2_ppf(jnp.asarray(significance_level,
+                                                dtype=_host_float()), dof)))
+    signif = std1 * std2 * (Pk1 * Pk2) ** 0.5 * PPF / dof
+    return mag, phase, coi, freq, signif
 
 
 def _host_float():

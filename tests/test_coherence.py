@@ -164,3 +164,24 @@ def test_xwt_pairs_matches_per_pair_xwt():
         np.testing.assert_allclose(Wb[b], W1, rtol=0, atol=1e-10)
         np.testing.assert_allclose(sigb[b], sig1, rtol=1e-12)
         np.testing.assert_allclose(coi, coi1)
+
+
+def test_xwt_planar_matches_complex_xwt():
+    """xwt_planar (complex-free) reproduces xwt's |W12|, phase, and signif."""
+    from pycwt_tpu.config import CWTConfig
+
+    rng = np.random.default_rng(13)
+    N = 260
+    y1 = rng.standard_normal(N)
+    y2 = 0.4 * y1 + rng.standard_normal(N)
+    W12, coi, freq, sig = wt.xwt(y1, y2, 0.5, dj=1 / 8)
+    mag, phase, coi2, freq2, sig2 = wt.xwt_planar(
+        y1, y2, 0.5, dj=1 / 8, config=CWTConfig(engine="planar"))
+    scale = np.abs(W12).max()
+    np.testing.assert_allclose(mag, np.abs(W12), atol=2e-5 * scale, rtol=0)
+    # phase compared where the magnitude is non-negligible
+    m = np.abs(W12) > 1e-3 * scale
+    dphi = np.angle(np.exp(1j * (phase - np.angle(W12))))
+    assert np.abs(dphi[m]).max() < 1e-3
+    np.testing.assert_allclose(sig2, sig, rtol=1e-10)
+    np.testing.assert_allclose(coi2, coi)
