@@ -223,12 +223,25 @@ def xwt_analysis(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
     if boxpdf_transform:
         y1, _, _ = boxpdf(y1)
         y2, _, _ = boxpdf(y2)
-    W12, coi, freq, signif = _xwt(y1, y2, dt, dj=dj, s0=s0, J=J,
-                                  significance_level=significance_level,
-                                  wavelet=mother)
-    cross_power = np.abs(W12)
+    from .config import DEFAULT as _CFG
+    from .ops.fft import resolve_engine
+
+    if resolve_engine(_CFG.engine) == "planar":
+        # Complex-free runtimes (axon TPU): magnitude/phase planar pipeline;
+        # W12 reconstructed host-side for the return contract.
+        from .coherence import xwt_planar
+
+        cross_power, phase, coi, freq, signif = xwt_planar(
+            y1, y2, dt, dj=dj, s0=s0, J=J,
+            significance_level=significance_level, wavelet=mother)
+        W12 = cross_power * np.exp(1j * phase)   # host-side numpy, not device
+    else:
+        W12, coi, freq, signif = _xwt(y1, y2, dt, dj=dj, s0=s0, J=J,
+                                      significance_level=significance_level,
+                                      wavelet=mother)
+        cross_power = np.abs(W12)
+        phase = np.angle(W12)
     cross_sig = cross_power / (signif[:, None])
-    phase = np.angle(W12)
     return dict(W12=W12, cross_power=cross_power, cross_sig=cross_sig,
                 phase=phase, coi=coi, freq=freq, period=1 / freq,
                 signif=signif)

@@ -121,3 +121,22 @@ def test_cwt_analysis_planar_engine_matches(monkeypatch):
         scale = np.abs(b).max()
         np.testing.assert_allclose(a, b, atol=5e-5 * scale, rtol=0,
                                    err_msg=field)
+
+
+def test_xwt_analysis_planar_engine_matches(monkeypatch):
+    """xwt_analysis under the planar engine matches the complex path."""
+    from pycwt_tpu.analysis import xwt_analysis
+
+    rng = np.random.default_rng(23)
+    y1 = rng.standard_normal(250)
+    y2 = 0.5 * y1 + rng.standard_normal(250)
+    ref = xwt_analysis(y1, y2, 0.25)
+    monkeypatch.setenv("PYCWT_TPU_ENGINE", "planar")
+    got = xwt_analysis(y1, y2, 0.25)
+    scale = ref["cross_power"].max()
+    np.testing.assert_allclose(got["cross_power"], ref["cross_power"],
+                               atol=5e-5 * scale, rtol=0)
+    np.testing.assert_allclose(got["signif"], ref["signif"], rtol=1e-10)
+    m = ref["cross_power"] > 1e-3 * scale
+    dphi = np.angle(np.exp(1j * (got["phase"] - ref["phase"])))
+    assert np.abs(dphi[m]).max() < 1e-3
