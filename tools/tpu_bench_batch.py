@@ -47,10 +47,14 @@ def main():
         x = jnp.asarray(rng.standard_normal((B, N0)), jnp.float32)
 
         def pipeline(xb):
+            from pycwt_tpu.config import DEFAULT
+
             sr, si = fft_of_real_planar(xb, N0)           # (B, nfft) planar
             wr, wi = jax.vmap(
                 lambda a, b: fused_cwt_planar(a, b, scales, mother=mother,
-                                              nfft=N0, dt=DT))(sr, si)
+                                              nfft=N0, dt=DT,
+                                              precision=DEFAULT.precision))(
+                sr, si)
             return (wr * wr + wi * wi).mean(-1)            # (B, S)
 
         def chained(xb, salt, iters):
