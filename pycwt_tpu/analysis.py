@@ -143,8 +143,8 @@ def cwt_analysis(
 
     # On complex-free runtimes (engine resolves "planar" — e.g. the tunneled
     # axon TPU, where complex64 is UNIMPLEMENTED) the whole flow still runs:
-    # power from the planar planes, and the inverse transform needs only
-    # Re W (api.icwt takes np.real), so wr stands in for W.
+    # power from the planar planes; W is reassembled HOST-side (numpy complex,
+    # never a device dtype) so result.W carries full phase information.
     from .config import DEFAULT as _CFG
     from .ops.fft import resolve_engine
     from .ops.mxu_dft import supported_n
@@ -154,7 +154,7 @@ def cwt_analysis(
         wr, wi, sj, freqs, coi = api._cwt_planar_parts(
             x, dt, dj=dj, s0=s0, J=J, wavelet=mother)
         power = wr ** 2 + wi ** 2
-        W = wr  # icwt uses np.real(W) only
+        W = wr + 1j * wi  # host-side numpy complex (ADVICE r3)
     else:
         W, sj, freqs, coi, _, _ = api.cwt(x, dt, dj=dj, s0=s0, J=J,
                                           wavelet=mother)

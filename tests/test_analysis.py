@@ -121,6 +121,14 @@ def test_cwt_analysis_planar_engine_matches(monkeypatch):
         scale = np.abs(b).max()
         np.testing.assert_allclose(a, b, atol=5e-5 * scale, rtol=0,
                                    err_msg=field)
+    # result.W must carry BOTH planes under the planar engine (ADVICE r3:
+    # W held only Re(W), silently corrupting phase consumers).
+    assert np.iscomplexobj(got.W)
+    wscale = np.abs(ref.W).max()
+    np.testing.assert_allclose(got.W.real, ref.W.real, atol=5e-5 * wscale,
+                               rtol=0)
+    np.testing.assert_allclose(got.W.imag, ref.W.imag, atol=5e-5 * wscale,
+                               rtol=0)
 
 
 def test_xwt_analysis_planar_engine_matches(monkeypatch):

@@ -188,3 +188,33 @@ def test_chi2_ppf_matches_tc98_z_table():
     # (the xwt docstring's "use 86.46 % confidence" note).
     z = float(np.asarray(chi2_ppf(jnp.asarray(0.8646, jnp.float64), 2)))
     assert abs(z - 3.999) < 2e-3
+
+
+def test_ar1_batch_matches_per_series():
+    """ar1_batch == per-series ar1 for every row (device-batched dots,
+    host f64 quadratic — VERDICT r3 #2)."""
+    from pycwt_tpu.stats import ar1, ar1_batch, rednoise
+
+    rows = [np.asarray(rednoise(400, g, seed=i))
+            for i, g in enumerate([0.0, 0.3, 0.7, 0.9])]
+    x = np.stack(rows)
+    g_b, a_b, mu2_b = ar1_batch(x)
+    for i, row in enumerate(rows):
+        g, a, mu2 = ar1(row)
+        np.testing.assert_allclose(g_b[i], g, rtol=1e-9)
+        np.testing.assert_allclose(a_b[i], a, rtol=1e-9)
+        np.testing.assert_allclose(mu2_b[i], mu2, rtol=1e-9)
+
+
+def test_ar1_batch_bad_row_is_nan():
+    """Rows where ar1 raises Warning (e.g. a strong trend) come back NaN
+    instead of aborting the whole batch."""
+    from pycwt_tpu.stats import ar1, ar1_batch
+
+    trend = np.linspace(0.0, 50.0, 200)  # discriminant <= 0 in ar1
+    good = np.sin(np.linspace(0, 20, 200)) + 0.1 * np.arange(200) % 3
+    with pytest.raises(Warning):
+        ar1(trend)
+    g, a, mu2 = ar1_batch(np.stack([trend, good]))
+    assert np.isnan(g[0]) and np.isnan(a[0])
+    assert np.isfinite(g[1])
