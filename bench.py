@@ -33,6 +33,28 @@ TARGET = 1e9  # sample-scales/s/chip north-star target (BASELINE.json)
 
 # v5e MXU peak (bf16 FLOP/s) for the roofline row in BASELINE.md.
 V5E_BF16_PEAK = 197e12
+# v5e HBM bandwidth for the BYTES roofline row (VERDICT r3 #1a).
+V5E_HBM_PEAK = 819e9
+
+
+def planar_pipeline_bytes(N: int, S: int, analytic: bool, precision: str,
+                          output: str) -> float:
+    """HBM bytes moved by one planar fused-CWT transform — the bytes-roofline
+    model (VERDICT r3 weak #1).  Streams: forward-DFT read/write, kernel A's
+    X read + T write, kernel B's T read + epilogue write.  T is bf16 at the
+    ``fast`` tier (pallas_fft), f32 otherwise."""
+    half_n = N // 2 if analytic else N
+    t_item = 2 if precision == "fast" else 4
+    fwd = 4 * N + 2 * 4 * half_n                 # x in, (re, im) spectrum out
+    ka = 2 * 4 * half_n + 2 * t_item * S * N     # X planes in, T planes out
+    kb = 2 * t_item * S * N                      # T planes in
+    if output == "planes":
+        kb += 2 * 4 * S * N
+    elif output == "power":
+        kb += 4 * S * N
+    else:                                        # power_sum: (S, 8, 128) tiles
+        kb += 4 * S * 8 * 128
+    return float(fwd + ka + kb)
 
 
 def _col_dft_flops(R: int, A: int, rows_present: int | None = None) -> float:
@@ -69,6 +91,12 @@ def planar_pipeline_flops(N: int, S: int, analytic: bool) -> float:
 def main():
     import pycwt_tpu as wt
     from pycwt_tpu.transform import build_scale_grid, cwt_batch
+    from pycwt_tpu.utils.helpers import enable_compilation_cache
+
+    # Persistent XLA/Mosaic compile cache: the ~45-60 s "compile+warm" phase
+    # is per-machine, not per-process (VERDICT r3 #5) — a re-run of this
+    # bench in a fresh process starts warm.
+    enable_compilation_cache()
 
     B = 1
     N0 = 1 << 20          # 1M points (pow-2: no padding)
@@ -101,9 +129,14 @@ def main():
 
     def pipeline_planar(x):                  # x: (1, N0) f32
         sr, si = fft_of_real_planar(x[0], N0, half=half)
-        wr, wi = fused_cwt_planar(sr, si, scales_j, mother=mother,
-                                  nfft=N0, dt=dt, precision=precision)
-        return (wr * wr + wi * wi).mean(-1)[None]   # (1, S)
+        # Σ_t |W|² is computed inside kernel B's epilogue (output="power_sum")
+        # — the planar W planes never round-trip HBM, removing a third of the
+        # pipeline's traffic for this (global-spectrum) consumer while still
+        # executing the full inverse DFT per (scale, t) (VERDICT r3 #1c).
+        pw = fused_cwt_planar(sr, si, scales_j, mother=mother,
+                              nfft=N0, dt=dt, precision=precision,
+                              output="power_sum")
+        return (pw / N0)[None]                      # (1, S) mean power
 
     def make_pipeline_complex(eng):
         def pipeline(x):
@@ -198,11 +231,17 @@ def main():
         # MXU passes per f32-equivalent FLOP for the active tier.
         passes = {"highest": 3, "high": 2, "fast": 1}[precision]
         issue = achieved * passes
+        hbm_bytes = planar_pipeline_bytes(N0, S, half, precision, "power_sum")
         roofline = {
             "flops_per_transform": flops,
             "achieved_tflops_f32equiv": achieved / 1e12,
             "mxu_issue_tflops_bf16": issue / 1e12,
             "pct_mxu_peak_v5e": 100.0 * issue / V5E_BF16_PEAK,
+            # Bytes roofline (VERDICT r3 #1a): modelled HBM traffic of the
+            # active pipeline vs v5e's ~819 GB/s.
+            "hbm_bytes_per_transform": hbm_bytes,
+            "achieved_hbm_gbps": hbm_bytes / per_iter / 1e9,
+            "pct_hbm_peak_v5e": 100.0 * (hbm_bytes / per_iter) / V5E_HBM_PEAK,
         }
     print(json.dumps({
         "metric": "sample_scales_per_s_per_chip",

@@ -267,23 +267,34 @@ def _make_kernel_a(mother: Mother, nfft: int, dt: float, R1: int, R2: int,
         twi = twi_ref[:]
         tr = zr * twr - zi * twi
         ti = zr * twi + zi * twr
-        tr_ref[0] = tr.T
-        ti_ref[0] = ti.T
+        # T may be stored bf16 (fast tier): its only consumer is kernel B's
+        # single-pass bf16 MXU dot, which would round it identically anyway —
+        # halves the inter-kernel HBM round-trip (VERDICT r3 #1b).
+        tr_ref[0] = tr.T.astype(tr_ref.dtype)
+        ti_ref[0] = ti.T.astype(ti_ref.dtype)
 
     return kernel
 
 
 def _make_kernel_b(R1: int, R2: int, Cblk: int, r1: int, r2: int,
-                   G1: int, G2: int, inv_n: float, power_out: bool,
+                   G1: int, G2: int, inv_n: float, out_mode: str,
                    precision=None):
+    """Kernel B with a fused epilogue selected by ``out_mode``:
+
+    * ``"planes"``    — planar W (2 f32 planes out; the general transform);
+    * ``"power"``     — |W|² written directly (1 plane out — power-only
+      consumers never round-trip planar W through HBM: VERDICT r3 #1c);
+    * ``"power_sum"`` — Σ_t |W|² partial-sum tiles (the global-spectrum
+      reduction; minimal HBM out).
+    """
     def kernel(tr_ref, ti_ref, f1r, f1i, wr_, wi_, f2r, f2i, *out_refs):
         consts1 = _read_tables((f1r, f1i, wr_, wi_, f2r, f2i), r1, r2, G1, G2)
-        tr = tr_ref[0]
-        ti = ti_ref[0]
+        tr = tr_ref[0].astype(jnp.float32)
+        ti = ti_ref[0].astype(jnp.float32)
         mr, mi = _col_dft(tr, ti, consts1, R1, Cblk, precision)
         mr = mr * inv_n
         mi = mi * inv_n
-        if power_out:
+        if out_mode == "power_sum":
             (p_ref,) = out_refs
             pw = mr * mr + mi * mi
             # reduce (R1, Cblk) -> (8, L) partial-sum tile (vector stores only)
@@ -293,6 +304,9 @@ def _make_kernel_b(R1: int, R2: int, Cblk: int, r1: int, r2: int,
             def _():
                 p_ref[:] = jnp.zeros_like(p_ref)
             p_ref[0] += acc
+        elif out_mode == "power":
+            (p_ref,) = out_refs
+            p_ref[0] = mr * mr + mi * mi
         else:
             wr_ref, wi_ref = out_refs
             wr_ref[0] = mr
@@ -476,28 +490,38 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
                      dt: float, Ablk: int = 256, Cblk: int = 256,
                      power_only: bool = False, interpret: bool = False,
                      precision: str = "highest",
-                     small_kernel: bool | None = None):
+                     small_kernel: bool | None = None,
+                     output: str | None = None):
     """Planar fused CWT — thin wrapper resolving the small-nfft path choice
     OUTSIDE the jit cache (an env sniff inside a traced function would let a
     stale executable shadow a changed env var).  ``small_kernel=None`` →
     ``PYCWT_TPU_SMALL_KERNEL=1`` env opt-in, else the measured-faster planar
-    XLA formulation.  See :func:`_fused_cwt_planar_jit` for the math."""
+    XLA formulation.  See :func:`_fused_cwt_planar_jit` for the math.
+
+    ``output`` selects the fused epilogue: ``"planes"`` (default — planar
+    ``(wr, wi)``), ``"power"`` (``(S, nfft)`` |W|² written in-kernel, half
+    the output HBM traffic), or ``"power_sum"`` (``(S,)`` Σ_t |W|², the
+    global-spectrum reduction; equals the legacy ``power_only=True``)."""
     if small_kernel is None:
         small_kernel = os.environ.get("PYCWT_TPU_SMALL_KERNEL") == "1"
+    if output is None:
+        output = "power_sum" if power_only else "planes"
+    if output not in ("planes", "power", "power_sum"):
+        raise ValueError(f"output must be planes|power|power_sum, got {output!r}")
     return _fused_cwt_planar_jit(
         sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt, Ablk=Ablk,
-        Cblk=Cblk, power_only=power_only, interpret=interpret,
+        Cblk=Cblk, output=output, interpret=interpret,
         precision=precision, small_kernel=bool(small_kernel))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mother", "nfft", "dt", "Ablk", "Cblk", "power_only",
+    static_argnames=("mother", "nfft", "dt", "Ablk", "Cblk", "output",
                      "interpret", "precision", "small_kernel"),
 )
 def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
                           dt: float, Ablk: int = 256, Cblk: int = 256,
-                          power_only: bool = False, interpret: bool = False,
+                          output: str = "planes", interpret: bool = False,
                           precision: str = "highest",
                           small_kernel: bool = False):
     """Fused Pallas CWT on a PLANAR ``(re, im)`` f32 spectrum — no complex
@@ -538,8 +562,10 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
             wr, wi = _small_planar_xla(
                 sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
                 precision=prec_small)
-        if power_only:
+        if output == "power_sum":
             return (wr * wr + wi * wi).sum(axis=-1)
+        if output == "power":
+            return wr * wr + wi * wi
         return wr, wi
 
     S = scales.shape[0]
@@ -591,7 +617,13 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
                             prec, analytic=analytic)
 
     grid_a = (R1 // Ablk, S)
-    t_shape = jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)
+    # "fast" tier: store the inter-kernel intermediate T in bf16 — kernel B's
+    # first op on it is a single-pass bf16 MXU dot that would round it to
+    # bf16 anyway, so the numerics stay at the fast tier's ~4e-3 while the
+    # T HBM round-trip halves (VERDICT r3 #1b).  Compensated/highest tiers
+    # keep f32 T (bf16 rounding would destroy their error budgets).
+    t_dtype = jnp.bfloat16 if precision == "fast" else jnp.float32
+    t_shape = jax.ShapeDtypeStruct((S, R1, R2), t_dtype)
     grid_spec_a = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid_a,
@@ -617,12 +649,15 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
 
     tab1, tab1_specs, r1a, r2a, G1a, G2a = table_inputs(consts1)
     kern_b = _make_kernel_b(R1, R2, Cblk, r1a, r2a, G1a, G2a, 1.0 / nfft,
-                            power_only, prec)
+                            output, prec)
     grid_b = (S, R2 // Cblk)
-    if power_only:
+    if output == "power_sum":
         L = min(Cblk, 128)
         out_shape = [jax.ShapeDtypeStruct((S, 8, L), jnp.float32)]
         out_specs = [pl.BlockSpec((1, 8, L), lambda s, c: (s, 0, 0))]
+    elif output == "power":
+        out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
+        out_specs = [pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c))]
     else:
         out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32),
                      jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
@@ -643,8 +678,10 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
         interpret=interpret,
     )(tr, ti, *tab1)
 
-    if power_only:
+    if output == "power_sum":
         return outs[0].sum(axis=(1, 2))  # partial-sum tiles -> (S,)
+    if output == "power":
+        return outs[0].reshape(S, nfft)
     wr, wi = outs
     return wr.reshape(S, nfft), wi.reshape(S, nfft)
 

@@ -6,4 +6,5 @@ from .sharded import (  # noqa: F401
     sharded_wct_pairs,
     sharded_mc_histogram,
 )
-from .dist_fft import sharded_cwt_spectral, sharded_dft, sharded_idft  # noqa: F401
+from .dist_fft import (sharded_cwt_spectral, sharded_cwt_spectral_planar,  # noqa: F401
+                       sharded_dft, sharded_dft_planar, sharded_idft)  # noqa: F401

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["sharded_dft", "sharded_idft", "sharded_cwt_spectral"]
+__all__ = ["sharded_dft", "sharded_idft", "sharded_cwt_spectral",
+           "sharded_dft_planar", "sharded_cwt_spectral_planar"]
 
 
 def _split_for(N: int, D: int) -> tuple[int, int]:
@@ -137,6 +138,152 @@ def sharded_idft(mesh: Mesh, X, *, axis_name: str = "data"):
     """Inverse of :func:`sharded_dft` (matches ``jnp.fft.ifft``)."""
     X = jnp.asarray(X)
     return sharded_dft(mesh, X, sign=+1, axis_name=axis_name) / X.shape[-1]
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_mats_planar(R1: int, R2: int, sign: int, f64: bool):
+    dt = np.float64 if f64 else np.float32
+    k1 = np.arange(R1)
+    n2 = np.arange(R2)
+    F1 = np.exp(sign * 2j * np.pi * np.outer(k1, k1) / R1)
+    F2 = np.exp(sign * 2j * np.pi * np.outer(n2, n2) / R2)
+    pl = lambda z: (np.ascontiguousarray(z.real, dt),
+                    np.ascontiguousarray(z.imag, dt))
+    return pl(F1), pl(F2)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_dft_planar_fn(mesh: Mesh, N: int, sign: int, f64: bool,
+                           axis_name: str, batch_rank: int, has_imag: bool):
+    """PLANAR pencil DFT — the complex-free re-expression of
+    :func:`_sharded_dft_fn` on ``(re, im)`` float planes (VERDICT r3 #3: the
+    complex pipeline cannot run on runtimes whose complex64 support is
+    absent, e.g. the tunneled axon TPU — exactly the runtime the planar
+    single-chip stack serves).  Same three ``all_to_all`` + two MXU-DFT
+    stages; every matmul/twiddle is a 4-real (or 2-real for real input)
+    expansion of its complex counterpart."""
+    D = mesh.shape[axis_name]
+    R1, R2 = _split_for(N, D)
+    A = R1 // D
+    R2l = R2 // D
+    (F1r, F1i), (F2r, F2i) = _dft_mats_planar(R1, R2, sign, f64)
+    rdt = jnp.float64 if f64 else jnp.float32
+    b = batch_rank
+
+    def a2a(v, split, concat):
+        return jax.lax.all_to_all(v, axis_name, split_axis=split,
+                                  concat_axis=concat, tiled=True)
+
+    def shard_fn(xr_loc, xi_loc):
+        B = xr_loc.shape[:-1]
+        Xr = a2a(xr_loc.reshape(B + (A, R2)).astype(rdt), b + 1, b)
+        M1r = jnp.asarray(F1r)
+        M1i = jnp.asarray(F1i)
+        if has_imag:
+            Xi = a2a(xi_loc.reshape(B + (A, R2)).astype(rdt), b + 1, b)
+            Yr = (jnp.einsum("kn,...nj->...kj", M1r, Xr)
+                  - jnp.einsum("kn,...nj->...kj", M1i, Xi))
+            Yi = (jnp.einsum("kn,...nj->...kj", M1r, Xi)
+                  + jnp.einsum("kn,...nj->...kj", M1i, Xr))
+        else:
+            Yr = jnp.einsum("kn,...nj->...kj", M1r, Xr)
+            Yi = jnp.einsum("kn,...nj->...kj", M1i, Xr)
+        # Twiddle e^{s·2πi·n2·k1/N} with GLOBAL n2 of my pencil — planar.
+        d = jax.lax.axis_index(axis_name)
+        n2g = (d * R2l + jnp.arange(R2l)).astype(rdt)
+        k1 = jnp.arange(R1).astype(rdt)
+        phase = (sign * 2 * jnp.pi / N) * jnp.outer(k1, n2g)
+        c, s = jnp.cos(phase), jnp.sin(phase)
+        Tr = Yr * c - Yi * s
+        Ti = Yr * s + Yi * c
+        Ur = a2a(Tr, b, b + 1)
+        Ui = a2a(Ti, b, b + 1)
+        M2r = jnp.asarray(F2r)
+        M2i = jnp.asarray(F2i)
+        Zr = (jnp.einsum("...kn,nj->...kj", Ur, M2r)
+              - jnp.einsum("...kn,nj->...kj", Ui, M2i))
+        Zi = (jnp.einsum("...kn,nj->...kj", Ur, M2i)
+              + jnp.einsum("...kn,nj->...kj", Ui, M2r))
+        Vr = a2a(Zr, b + 1, b)
+        Vi = a2a(Zi, b + 1, b)
+        out = lambda v: jnp.swapaxes(v, -1, -2).reshape(B + (R1 * R2l,))
+        return out(Vr), out(Vi)
+
+    spec = P(*([None] * b), axis_name)
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,  # the twiddle uses axis_index (position-dependent)
+    )
+    return jax.jit(fn)
+
+
+def sharded_dft_planar(mesh: Mesh, xr, xi=None, *, sign: int = -1,
+                       axis_name: str = "data"):
+    """:func:`sharded_dft` on PLANAR ``(re, im)`` planes — no complex dtype
+    anywhere, so the exact sequence-parallel spectrum runs on complex-free
+    runtimes (the production axon chip).  ``xi=None`` marks real input
+    (halves stage 1's matmuls).  Returns ``(Xr, Xi)``, each sharded
+    ``P(axis_name)`` in natural frequency order."""
+    xr = jnp.asarray(xr)
+    N = xr.shape[-1]
+    f64 = xr.dtype == jnp.float64
+    b = xr.ndim - 1
+    has_imag = xi is not None
+    fn = _sharded_dft_planar_fn(mesh, N, sign, f64, axis_name, b, has_imag)
+    sh = NamedSharding(mesh, P(*([None] * b), axis_name))
+    xr = jax.device_put(xr, sh)
+    if has_imag:
+        xi = jax.device_put(jnp.asarray(xi), sh)
+    else:
+        xi = xr  # ignored by the real-input branch; keeps one cached fn shape
+    return fn(xr, xi)
+
+
+def sharded_cwt_spectral_planar(mesh: Mesh, x, scales, dt: float, *, mother,
+                                axis_name: str = "data"):
+    """:func:`sharded_cwt_spectral` with NO complex dtype anywhere: planar
+    pencil forward DFT → planar filter bank on each local frequency pencil →
+    planar pencil inverse.  Equal to the complex pipeline to round-off;
+    returns ``(wr, wi)``, each ``(S, N)`` time-sharded ``P(None, axis_name)``.
+    This is the no-truncation sequence-parallel CWT that runs on the very
+    runtime the planar single-chip stack was built for (VERDICT r3 #3)."""
+    x = jnp.asarray(x)
+    if x.ndim != 1:
+        raise ValueError("sharded_cwt_spectral_planar expects a 1-D signal")
+    N = x.shape[-1]
+    f64 = x.dtype == jnp.float64
+    rdt = jnp.float64 if f64 else jnp.float32
+    scales = jnp.asarray(scales, rdt)
+    sr, si = sharded_dft_planar(mesh, x.astype(rdt), axis_name=axis_name)
+
+    cconst = np.conj(complex(mother.psi_ft_const()))
+    cr, ci = float(cconst.real), float(cconst.imag)
+
+    def filt(sr_loc, si_loc, sj):
+        Nl = sr_loc.shape[-1]
+        d = jax.lax.axis_index(axis_name)
+        k = d * Nl + jnp.arange(Nl)
+        kf = jnp.where(k >= N // 2, k - N, k).astype(rdt)
+        omega = (2 * jnp.pi / (N * dt)) * kf
+        env = mother.psi_ft_envelope(sj[:, None] * omega[None, :]).astype(rdt)
+        norm = jnp.sqrt(2 * jnp.pi * sj / dt).astype(rdt)
+        br = (norm[:, None] * env) * cr        # bank planes (S, Nl)
+        bi = (norm[:, None] * env) * ci
+        yr = sr_loc[None, :] * br - si_loc[None, :] * bi
+        yi = sr_loc[None, :] * bi + si_loc[None, :] * br
+        return yr, yi
+
+    Yr, Yi = shard_map(
+        filt, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_vma=False,
+    )(sr, si, scales)
+    wr, wi = sharded_dft_planar(mesh, Yr, Yi, sign=+1, axis_name=axis_name)
+    return wr / N, wi / N
 
 
 def sharded_cwt_spectral(mesh: Mesh, x, scales, dt: float, *, mother,

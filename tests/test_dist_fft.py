@@ -101,3 +101,68 @@ def test_sharded_cwt_spectral_sharding_layout(mesh8):
     assert W.shape == (2, N)
     shard_shapes = {s.data.shape for s in W.addressable_shards}
     assert shard_shapes == {(2, N // 8)}
+
+
+def test_sharded_dft_planar_matches_complex(mesh8):
+    """The planar pencil DFT (no complex dtype anywhere) equals the complex
+    pipeline — real and complex inputs (VERDICT r3 #3)."""
+    from pycwt_tpu.parallel import sharded_dft_planar
+
+    rng = np.random.default_rng(9)
+    N = 1 << 10
+    x = rng.standard_normal(N)
+    Xr, Xi = sharded_dft_planar(mesh8, jnp.asarray(x))
+    ref = np.fft.fft(x)
+    np.testing.assert_allclose(np.asarray(Xr), ref.real, atol=1e-9 * N)
+    np.testing.assert_allclose(np.asarray(Xi), ref.imag, atol=1e-9 * N)
+    # complex input via explicit planes
+    yi = rng.standard_normal(N)
+    Xr2, Xi2 = sharded_dft_planar(mesh8, jnp.asarray(x), jnp.asarray(yi))
+    ref2 = np.fft.fft(x + 1j * yi)
+    np.testing.assert_allclose(np.asarray(Xr2), ref2.real, atol=1e-9 * N)
+    np.testing.assert_allclose(np.asarray(Xi2), ref2.imag, atol=1e-9 * N)
+
+
+def test_sharded_dft_planar_output_sharding(mesh8):
+    from pycwt_tpu.parallel import sharded_dft_planar
+
+    x = jnp.asarray(np.random.default_rng(10).standard_normal(1 << 10))
+    Xr, Xi = sharded_dft_planar(mesh8, x)
+    for v in (Xr, Xi):
+        assert {s.data.shape for s in v.addressable_shards} == {(128,)}
+
+
+def test_sharded_cwt_spectral_planar_matches_complex(mesh8):
+    """Planar spectral CWT == complex spectral CWT == global transform."""
+    import pycwt_tpu as wt
+    from pycwt_tpu.parallel import (sharded_cwt_spectral,
+                                    sharded_cwt_spectral_planar)
+
+    rng = np.random.default_rng(11)
+    N = 1 << 11
+    dt = 0.5
+    x = jnp.asarray(rng.standard_normal(N))
+    mother = wt.Morlet(6)
+    scales = jnp.asarray([2 * dt / mother.flambda(), 2.0, 16.0, 128.0])
+    W = np.asarray(sharded_cwt_spectral(mesh8, x, scales, dt, mother=mother))
+    wr, wi = sharded_cwt_spectral_planar(mesh8, x, scales, dt, mother=mother)
+    scale = np.abs(W).max()
+    np.testing.assert_allclose(np.asarray(wr), W.real, atol=1e-10 * scale)
+    np.testing.assert_allclose(np.asarray(wi), W.imag, atol=1e-10 * scale)
+    for v in (wr, wi):
+        assert {s.data.shape for s in v.addressable_shards} == {(4, N // 8)}
+
+
+def test_sharded_cwt_spectral_planar_no_complex_in_hlo(mesh8):
+    """The planar spectral pipeline's lowered HLO contains NO complex dtype —
+    the property that lets it run on complex-free runtimes (axon TPU)."""
+    import pycwt_tpu as wt
+    from pycwt_tpu.parallel import sharded_cwt_spectral_planar
+
+    N = 1 << 10
+    x = jnp.asarray(np.zeros(N), jnp.float32)
+    scales = jnp.asarray([4.0, 16.0], jnp.float32)
+    f = jax.jit(lambda v: sharded_cwt_spectral_planar(
+        mesh8, v, scales, 1.0, mother=wt.Morlet(6)))
+    hlo = f.lower(x).as_text()
+    assert "c64[" not in hlo and "c128[" not in hlo, "complex dtype leaked"

@@ -202,3 +202,25 @@ def test_mc_cache_key_isolates_seed_and_count(tmp_path, monkeypatch):
     # And each repeated call DOES hit its own cache entry exactly.
     s_b2 = wct_significance(0.5, 0.6, mc_count=16, seed=9, mc_batch=4, **kw)
     np.testing.assert_array_equal(s_b[valid], s_b2[valid])
+
+
+def test_mc_auto_batch_model():
+    """The bytes model lands the AO/Baltic workload at the measured-optimal
+    chunk scale (~250-300), caps at mc_count, and floors small workloads."""
+    from pycwt_tpu.coherence import _mc_auto_batch
+
+    b = _mc_auto_batch(10_000, 76, 1024, 885)   # AO/Baltic dims
+    assert 200 <= b <= 400, b
+    assert _mc_auto_batch(100, 76, 1024, 885) == 100
+    assert _mc_auto_batch(10_000, 400, 65536, 60000) == 25  # huge: floor
+    assert _mc_auto_batch(10**6, 8, 256, 200) == 1024       # tiny: ceiling
+
+
+def test_mc_auto_batch_default_matches_explicit():
+    """mc_batch=None (auto) gives the identical curve to an explicit batch —
+    chunking never changes results (global-index member streams)."""
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=12, progress=False,
+              cache=False, seed=3)
+    s_auto = wct_significance(0.5, 0.6, mc_batch=None, **kw)
+    s_explicit = wct_significance(0.5, 0.6, mc_batch=5, **kw)
+    np.testing.assert_array_equal(s_auto, s_explicit)

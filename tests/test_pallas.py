@@ -216,3 +216,61 @@ def test_dot_bf16x2_error_bound():
     err1 = np.abs(single - exact).max() / scale
     assert err2 < 5e-6, err2
     assert err2 < err1 / 50, (err2, err1)
+
+
+@pytest.mark.parametrize("nfft", [1 << 12, 1 << 13],
+                         ids=["small_path", "two_kernel_path"])
+def test_fused_cwt_power_map_output(nfft):
+    """output='power' writes |W|² inside kernel B's epilogue — equal to the
+    squared planes on both the small and the two-kernel paths (VERDICT r3
+    #1c: power-only consumers never round-trip planar W)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+
+    sr, si = fft_of_real_planar(x, nfft)
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(4)), jnp.float32)
+    kw = dict(mother=wt.Morlet(6), nfft=nfft, dt=1.0, Ablk=32, Cblk=32,
+              interpret=True)
+    wr, wi = fused_cwt_planar(sr, si, scales, **kw)
+    pw = np.asarray(fused_cwt_planar(sr, si, scales, output="power", **kw))
+    ref = np.asarray(wr) ** 2 + np.asarray(wi) ** 2
+    np.testing.assert_allclose(pw, ref, rtol=0, atol=1e-6 * ref.max())
+
+
+def test_fused_cwt_power_sum_two_kernel_path():
+    """power_sum epilogue on the two-kernel path (the bench headline mode)."""
+    nfft = 1 << 13
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+
+    sr, si = fft_of_real_planar(x, nfft)
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(4)), jnp.float32)
+    kw = dict(mother=wt.Morlet(6), nfft=nfft, dt=1.0, Ablk=32, Cblk=32,
+              interpret=True)
+    wr, wi = fused_cwt_planar(sr, si, scales, **kw)
+    ref = (np.asarray(wr) ** 2 + np.asarray(wi) ** 2).sum(-1)
+    p = np.asarray(fused_cwt_planar(sr, si, scales, output="power_sum", **kw))
+    np.testing.assert_allclose(p, ref, rtol=1e-6)
+
+
+def test_fused_cwt_fast_tier_bf16_t_error_bound():
+    """The fast tier stores the inter-kernel T in bf16 (halving its HBM
+    round-trip); the end-to-end error must stay at the fast tier's ~4e-3
+    scale vs the highest tier."""
+    nfft = 1 << 13
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+
+    sr, si = fft_of_real_planar(x, nfft)
+    scales = jnp.asarray(2.0 * 2 ** (np.arange(4)), jnp.float32)
+    kw = dict(mother=wt.Morlet(6), nfft=nfft, dt=1.0, Ablk=32, Cblk=32,
+              interpret=True)
+    wr_hi, wi_hi = fused_cwt_planar(sr, si, scales, precision="highest", **kw)
+    wr_f, wi_f = fused_cwt_planar(sr, si, scales, precision="fast", **kw)
+    scale = float(jnp.abs(wr_hi).max())
+    err = max(float(jnp.abs(wr_f - wr_hi).max()),
+              float(jnp.abs(wi_f - wi_hi).max())) / scale
+    assert err < 2e-2, err

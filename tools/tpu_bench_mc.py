@@ -23,15 +23,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 from pycwt_tpu.coherence import wct_significance  # noqa: E402
+from pycwt_tpu.utils.helpers import enable_compilation_cache  # noqa: E402
 from pycwt_tpu.utils.profiling import PhaseTimer, logger, trace  # noqa: E402
+
+enable_compilation_cache()  # compile is per-machine, not per-process
 
 logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                     format="%(name)s %(message)s")
 
 g = np.load(os.path.join(ROOT, "tests/golden/wct_sig_jao_jbaltic.npz"))
+_mcb = os.environ.get("PYCWT_TPU_MC_BATCH")
 kw = dict(dt=float(g["dt"]), dj=float(g["dj"]), s0=float(g["s0"]),
           J=int(g["J"]), mc_count=300, progress=False, cache=False,
-          mc_batch=int(os.environ.get("PYCWT_TPU_MC_BATCH", "75")))
+          # None → library auto-sizing (_mc_auto_batch bytes model)
+          mc_batch=int(_mcb) if _mcb else None)
 
 timer = PhaseTimer()
 with timer.phase("cold (trace+compile+run)"):
