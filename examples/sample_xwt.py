@@ -24,7 +24,7 @@ from pycwt_tpu.analysis import phase_arrows, wct_analysis, xwt_analysis
 from pycwt_tpu.sample import load
 
 
-def main():
+def main(outdir: str = "/tmp"):
     jao = load("jao")
     jbaltic = load("jbaltic")
     n = min(jao.values.size, jbaltic.values.size)
@@ -48,28 +48,55 @@ def main():
         import matplotlib.pyplot as plt
     except ImportError:
         return
+    # Figure layout/labels follow the reference's sample_xwt.py:174-213
+    # ('Cross-Wavelet' / 'Cross-Correlation' titles, COI hatch, Torrence &
+    # Webster phase quivers with the angle = π/2 − aWCT convention).
     t = jao.t0 + np.arange(n) * dt
+
+    def coi_fill(axis, coi, period):
+        axis.fill(
+            np.concatenate([t, t[-1:] + dt, t[-1:] + dt, t[:1] - dt,
+                            t[:1] - dt]),
+            np.concatenate([np.log2(coi), [np.log2(1e-9)],
+                            np.log2(period[-1:]), np.log2(period[-1:]),
+                            [np.log2(1e-9)]]),
+            "k", alpha=0.3, hatch="x")
+
     fig, (a, b) = plt.subplots(2, 1, figsize=(10, 8), sharex=True)
     a.contourf(t, np.log2(x["period"]), np.log2(x["cross_power"]), 12,
                cmap="viridis")
-    a.contour(t, np.log2(x["period"]), x["cross_sig"], [-99, 1], colors="k")
-    a.set_title("Cross-wavelet power (AO vs Baltic ice)")
+    a.contour(t, np.log2(x["period"]), x["cross_sig"], [-99, 1], colors="k",
+              linewidths=2)
+    coi_fill(a, x["coi"], x["period"])
+    a.set_title("Cross-Wavelet")
+    a.set_ylabel("log2(Period)")
+    a.set_ylim(np.log2([x["period"].min(), x["period"].max()]))
     a.invert_yaxis()
     b.contourf(t, np.log2(w["period"]), w["WCT"], 12, cmap="viridis")
     sig = w["sig95"]
     if np.ndim(sig) == 1 and len(sig) == len(w["period"]):
         with np.errstate(invalid="ignore", divide="ignore"):
             ratio = w["WCT"] / sig[:, None]
-        b.contour(t, np.log2(w["period"]), ratio, [-99, 1], colors="k")
+        b.contour(t, np.log2(w["period"]), ratio, [-99, 1], colors="k",
+                  linewidths=2)
+    coi_fill(b, w["coi"], w["period"])
     step = max(1, n // 40)
     b.quiver(t[::step], np.log2(w["period"][::4]),
              u[::4, ::step], v[::4, ::step], units="width", angles="uv",
              pivot="mid", scale=40)
-    b.set_title("Wavelet coherence + phase")
+    b.set_title("Cross-Correlation")
+    b.set_ylabel("log2(Period)")
+    b.set_xlabel("Time (year)")
     b.invert_yaxis()
-    fig.savefig("/tmp/pycwt_tpu_xwt.png", dpi=100)
-    print("figure saved to /tmp/pycwt_tpu_xwt.png")
+    out = os.path.join(outdir, "sample_xwt.png")
+    fig.savefig(out, dpi=96)
+    print(f"figure saved to {out}")
 
 
 if __name__ == "__main__":
-    main()
+    args = sys.argv[1:]
+    outdir = "/tmp"
+    if "--outdir" in args:
+        i = args.index("--outdir")
+        outdir = args[i + 1]
+    main(outdir)

@@ -123,7 +123,11 @@ def cwt_analysis(
     """Run the complete TC98 analysis on one series.
 
     Mirrors ``sample/sample.py``: AR(1) fit with white-noise fallback
-    (``sample.py:58-63``), pointwise chi-square test (eq. 18), global spectrum
+    (``sample.py:58-63``; deviation: the reference's except-branch sets
+    ``alpha = 1.0`` while its comment says "assume a white noise background" —
+    α=1 degenerates the Gilman spectrum to 0 and every significance ratio to
+    inf, so we use the comment's intent, ``alpha = 0.0``), pointwise
+    chi-square test (eq. 18), global spectrum
     with eq. 23 time-average significance (dof = N − scales, ``sample.py:86-89``),
     and eq. 24 scale-average power over ``avg_band`` with eq. 26-28
     significance (``sample.py:96-107``).
