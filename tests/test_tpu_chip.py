@@ -1,0 +1,44 @@
+"""Tests that exercise the REAL TPU chip.
+
+The regular suite pins the CPU backend (conftest.py); these run the parity
+harness against the actual tunneled chip in a SUBPROCESS (so the session's
+CPU pin doesn't apply) and assert the measured planar-path bounds from
+BASELINE.md — a regression on the one engine this runtime can run must fail
+loudly (VERDICT r3 #7).
+
+Opt-in via ``PYCWT_TPU_RUN_TPU_TESTS=1`` (the chip is behind a tunnel whose
+latency flaps; CI and the default pytest run skip these).
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+requires_chip = pytest.mark.skipif(
+    os.environ.get("PYCWT_TPU_RUN_TPU_TESTS") != "1",
+    reason="real-chip test; set PYCWT_TPU_RUN_TPU_TESTS=1 to run",
+)
+
+
+@requires_chip
+@pytest.mark.tpu
+def test_planar_parity_bounds_on_chip():
+    """The planar engine's f32 parity vs the f64 reference goldens stays at
+    its measured bounds (BASELINE.md round-3 table: CWT 1.09e-3,
+    XWT 9.2e-4, WCT 9.8e-5; asserted with 2x headroom for matmul-rounding
+    jitter across compiler versions)."""
+    env = {k: v for k, v in os.environ.items() if k != "PYCWT_TPU_PLATFORM"}
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "tpu_parity_report.py"),
+         "--engine=planar"],
+        capture_output=True, text=True, timeout=580, env=env, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-500:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "error" not in row, row
+    assert row["cwt_power_nino3"] <= 2.2e-3, row
+    assert row["xwt_jao_jbaltic"] <= 1.9e-3, row
+    assert row["wct_jao_jbaltic"] <= 2.0e-4, row

@@ -12,6 +12,14 @@ Prints one JSON document and (with --append-baseline) appends a markdown table
 to BASELINE.md.
 
 Usage:  timeout 580 python tools/tpu_parity_report.py [--append-baseline]
+                                                      [--expect-complex]
+
+``--expect-complex``: exit non-zero if any complex-dtype engine row (xla /
+mxu / pallas) fails.  On the current tunneled axon runtime complex64 is
+UNIMPLEMENTED in every observed window, so those rows are expected to fail
+there and the default is lenient; run with this flag on the day a standard
+TPU runtime (with complex64) is available to assert the full four-engine
+table in one command (VERDICT r3 #7).
 """
 from __future__ import annotations
 
@@ -109,6 +117,13 @@ def main():
     doc = {"metric": "f32_parity_vs_f64_goldens_max_rel_err",
            "platform": platform, "engines": results}
     print(json.dumps(doc))
+
+    if "--expect-complex" in sys.argv:
+        bad = [e for e, row in results.items() if "error" in row]
+        if bad:
+            print(f"--expect-complex: engine rows FAILED on this runtime: "
+                  f"{bad}", file=sys.stderr)
+            sys.exit(1)
 
     if "--append-baseline" in sys.argv:
         lines = [
