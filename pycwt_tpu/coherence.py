@@ -32,8 +32,8 @@ from .stats import ar1, ar1_batch, ar1_spectrum, rednoise_members
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
 from .utils.helpers import find, get_cache_dir
 
-__all__ = ["xwt", "xwt_pairs", "xwt_planar", "wct", "wct_pairs",
-           "wct_significance"]
+__all__ = ["xwt", "xwt_pairs", "xwt_pairs_planar", "xwt_planar", "wct",
+           "wct_pairs", "wct_significance"]
 
 NBINS = 1000  # histogram resolution of the MC coherence CDF (wavelet.py:606)
 
@@ -448,6 +448,134 @@ def _wct_pairs_scan(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
     S = W.shape[-2]
     return (W.reshape(nb * block, S, -1)[:B],
             A.reshape(nb * block, S, -1)[:B])
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft",
+                                             "block", "n0", "precision"))
+def _xwt_pairs_planar_scan(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
+                           block: int, n0: int, precision: str):
+    """Batched planar cross-wavelet magnitude/phase over pair-blocks — the
+    complex-free counterpart of :func:`_xwt_pairs_scan` (no complex dtype
+    anywhere; runs on the production axon chip)."""
+    from .ops.mxu_dft import fft_of_real_planar
+    from .ops.pallas_fft import _small_planar_xla, fused_cwt_planar, \
+        supported_nfft
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    scales = jnp.asarray(scales, jnp.float32)
+
+    if supported_nfft(nfft):
+        def one_w(a, b):
+            return fused_cwt_planar(a, b, scales, mother=mother, nfft=nfft,
+                                    dt=float(dt), interpret=interpret,
+                                    precision=precision)
+    else:
+        def one_w(a, b):
+            return _small_planar_xla(a, b, scales, mother=mother, nfft=nfft,
+                                     dt=float(dt),
+                                     precision=jax.lax.Precision.HIGHEST)
+
+    def planar_w(y):
+        sr, si = fft_of_real_planar(jnp.asarray(y, jnp.float32), nfft)
+        wr, wi = jax.vmap(one_w)(sr, si)
+        return wr[..., :n0], wi[..., :n0]
+
+    B = y1n.shape[0]
+    nb = -(-B // block)
+    pad = nb * block - B
+    if pad:
+        y1n = jnp.concatenate([y1n, jnp.broadcast_to(y1n[-1:], (pad, n0))])
+        y2n = jnp.concatenate([y2n, jnp.broadcast_to(y2n[-1:], (pad, n0))])
+
+    def body(carry, pair_blk):
+        a, b = pair_blk
+        w1r, w1i = planar_w(a)
+        w2r, w2i = planar_w(b)
+        w12r = w1r * w2r + w1i * w2i          # W1 · conj(W2), planar
+        w12i = w1i * w2r - w1r * w2i
+        mag = jnp.sqrt(w12r * w12r + w12i * w12i)
+        phase = jnp.arctan2(w12i, w12r)
+        return carry, (mag, phase)
+
+    _, (mag, phase) = jax.lax.scan(
+        body, None,
+        (y1n.reshape(nb, block, n0), y2n.reshape(nb, block, n0)))
+    S = mag.shape[-2]
+    return (mag.reshape(nb * block, S, n0)[:B],
+            phase.reshape(nb * block, S, n0)[:B])
+
+
+def xwt_pairs_planar(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
+                     significance_level=0.95, wavelet="morlet",
+                     normalize=True, config: CWTConfig = DEFAULT,
+                     pair_block: int | None = None):
+    """:func:`xwt_pairs` for COMPLEX-FREE runtimes: batched cross-wavelet
+    magnitude and phase on ``(re, im)`` f32 planes (no complex dtype on
+    device — the batched counterpart of :func:`xwt_planar`, usable on the
+    tunneled axon TPU where :func:`xwt_pairs`'s complex ``W12`` cannot be
+    constructed).
+
+    Returns ``(mag, phase, coi, freq, signif)`` with ``mag``/``phase`` of
+    shape ``(B, S, n0)`` and ``signif`` ``(B, S)`` (reference AR(1)
+    semantics, batched on device).  Together ``mag·e^{i·phase}`` equals
+    :func:`xwt_pairs`'s ``W12`` to f32 round-off.
+    """
+    from .ops.mxu_dft import supported_n
+
+    mother = as_mother(wavelet)
+    y1 = np.asarray(y1)
+    y2 = np.asarray(y2)
+    if y1.ndim != 2 or y1.shape != y2.shape:
+        raise ValueError(
+            f"xwt_pairs_planar expects matching (B, n0) arrays, got "
+            f"{y1.shape} vs {y2.shape}")
+    n0 = y1.shape[-1]
+    nfft = config.fft_length(n0)
+    if not supported_n(nfft):
+        raise ValueError(
+            f"xwt_pairs_planar requires a power-of-two FFT length, got "
+            f"nfft={nfft} (pad_pow2={config.pad_pow2}). Use "
+            "CWTConfig(pad_pow2=True) or the complex-engine xwt_pairs().")
+    if s0 == -1:
+        s0 = 2 * dt / mother.flambda()
+    if J == -1:
+        J = int(np.round(np.log2(n0 * dt / s0) / dj))
+
+    std1 = y1.std(-1)
+    std2 = y2.std(-1)
+    if normalize:
+        y1_n = (y1 - y1.mean(-1, keepdims=True)) / std1[:, None]
+        y2_n = (y2 - y2.mean(-1, keepdims=True)) / std2[:, None]
+    else:
+        y1_n, y2_n = y1, y2
+
+    grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
+    sj, freqs = grid.sj, grid.freqs
+    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
+    bad = mother.reference_nan_rows(sj, ftfreqs_np)
+    if (~bad).any():
+        sj = sj[~bad]
+        freqs = freqs[~bad]
+    B = y1.shape[0]
+    blk = pair_block if pair_block is not None else _pairs_block(
+        B, len(sj), nfft, 4, planes=24)
+    mag, phase = _xwt_pairs_planar_scan(
+        jnp.asarray(y1_n, jnp.float32), jnp.asarray(y2_n, jnp.float32),
+        jnp.asarray(sj, jnp.float32), dt, mother=mother, nfft=nfft,
+        block=int(min(B, blk)), n0=n0, precision=config.precision)
+
+    if normalize:
+        std1 = std2 = np.ones_like(std1)
+    dof = mother.dofmin
+    PPF = float(np.asarray(chi2_ppf(jnp.asarray(significance_level,
+                                                dtype=_host_float()), dof)))
+    a1, _, _ = ar1_batch(y1)
+    a2, _, _ = ar1_batch(y2)
+    Pk1 = ar1_spectrum(freqs[None, :] * dt, a1[:, None])
+    Pk2 = ar1_spectrum(freqs[None, :] * dt, a2[:, None])
+    signif = std1[:, None] * std2[:, None] * (Pk1 * Pk2) ** 0.5 * PPF / dof
+    coi = coi_bartlett(n0, dt, mother)
+    return np.asarray(mag), np.asarray(phase), coi, freqs, signif
 
 
 def wct_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",

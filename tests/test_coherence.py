@@ -253,3 +253,36 @@ def test_xwt_planar_non_pow2_nfft_raises():
     with pytest.raises(ValueError, match="power-of-two"):
         wt.xwt_planar(y, y, 1.0, config=CWTConfig(pad_pow2=False,
                                                   engine="planar"))
+
+
+def test_xwt_pairs_planar_matches_complex_pairs():
+    """Batched complex-free XWT pairs == xwt_pairs magnitude/phase/signif
+    (the complex-free batched serving surface for the axon runtime)."""
+    from pycwt_tpu.config import CWTConfig
+
+    rng = np.random.default_rng(31)
+    B, N = 5, 256
+    y1 = rng.standard_normal((B, N))
+    y2 = 0.4 * y1 + rng.standard_normal((B, N))
+    W12, coi, freq, sig = wt.xwt_pairs(y1, y2, 0.5, dj=1 / 8)
+    mag, phase, coi2, freq2, sig2 = wt.xwt_pairs_planar(
+        y1, y2, 0.5, dj=1 / 8, config=CWTConfig(engine="planar"),
+        pair_block=2)  # exercise the scan path too
+    scale = np.abs(W12).max()
+    np.testing.assert_allclose(mag, np.abs(W12), atol=2e-5 * scale, rtol=0)
+    m = np.abs(W12) > 1e-3 * scale
+    dphi = np.angle(np.exp(1j * (phase - np.angle(W12))))
+    assert np.abs(dphi[m]).max() < 1e-3
+    np.testing.assert_allclose(sig2, sig, rtol=1e-10)
+    np.testing.assert_allclose(coi2, coi)
+    np.testing.assert_allclose(freq2, freq)
+
+
+def test_xwt_pairs_planar_non_pow2_raises():
+    from pycwt_tpu.config import CWTConfig
+
+    y = np.random.default_rng(0).standard_normal((2, 300))
+    with pytest.raises(ValueError, match="power-of-two"):
+        wt.xwt_pairs_planar(y, y, 1.0,
+                            config=CWTConfig(pad_pow2=False,
+                                             engine="planar"))
