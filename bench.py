@@ -52,8 +52,8 @@ def planar_pipeline_bytes(N: int, S: int, analytic: bool, precision: str,
         kb += 2 * 4 * S * N
     elif output == "power":
         kb += 4 * S * N
-    else:                                        # power_sum: (S, 8, 128) tiles
-        kb += 4 * S * 8 * 128
+    else:   # power_sum: |W|² map out + XLA reduction read-back
+        kb += 2 * 4 * S * N
     return float(fwd + ka + kb)
 
 

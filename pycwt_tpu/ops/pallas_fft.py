@@ -648,14 +648,17 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     )(scales_flat, xr, xi, twr, twi, *tab2)
 
     tab1, tab1_specs, r1a, r2a, G1a, G2a = table_inputs(consts1)
+    # power_sum rides the power-map epilogue + an XLA sum: the in-kernel
+    # partial-sum accumulator (revisiting one output block across the whole
+    # c-grid) measured SLOWER than writing the full |W|² map and reducing
+    # outside (fast tier: 4.44 vs 5.14 ms — tools/tpu_bench_modes.py; the
+    # accumulation defeats kernel B's output double-buffering).  The
+    # accumulator variant remains in _make_kernel_b for re-measurement.
+    kern_mode = "power" if output == "power_sum" else output
     kern_b = _make_kernel_b(R1, R2, Cblk, r1a, r2a, G1a, G2a, 1.0 / nfft,
-                            output, prec)
+                            kern_mode, prec)
     grid_b = (S, R2 // Cblk)
-    if output == "power_sum":
-        L = min(Cblk, 128)
-        out_shape = [jax.ShapeDtypeStruct((S, 8, L), jnp.float32)]
-        out_specs = [pl.BlockSpec((1, 8, L), lambda s, c: (s, 0, 0))]
-    elif output == "power":
+    if kern_mode == "power":
         out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
         out_specs = [pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c))]
     else:
@@ -679,7 +682,7 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     )(tr, ti, *tab1)
 
     if output == "power_sum":
-        return outs[0].sum(axis=(1, 2))  # partial-sum tiles -> (S,)
+        return outs[0].reshape(S, nfft).sum(axis=-1)
     if output == "power":
         return outs[0].reshape(S, nfft)
     wr, wi = outs
