@@ -514,6 +514,42 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
         precision=precision, small_kernel=bool(small_kernel))
 
 
+def _with_xla_vjp(raw_fn, mother: Mother, nfft: int, dt: float, output: str):
+    """Make a Pallas planar-CWT closure differentiable: the PRIMAL runs the
+    fused kernels (``raw_fn``); the BACKWARD replays the mathematically
+    identical planar-XLA formulation (:func:`_small_planar_xla`, valid for
+    any pow-2 nfft) under ``jax.vjp`` — Pallas kernels have no automatic
+    transpose, but the transform is the same linear map, so the cotangents
+    (including the ∂/∂scales path through the filter envelope) are exact for
+    the HIGHEST tier and within the active tier's error otherwise.  The
+    backward pass materializes the (S, nfft) filter bank in XLA (~2 GB
+    transient at 64 × 2^20) — fine for training loops, which is what
+    gradients are for."""
+
+    def ref_fn(sr, si, sc):
+        wr, wi = _small_planar_xla(sr, si, sc, mother=mother, nfft=nfft,
+                                   dt=dt, precision=jax.lax.Precision.HIGHEST)
+        if output == "power_sum":
+            return (wr * wr + wi * wi).sum(axis=-1)
+        if output == "power":
+            return wr * wr + wi * wi
+        return wr, wi
+
+    @jax.custom_vjp
+    def op(sr, si, sc):
+        return raw_fn(sr, si, sc)
+
+    def fwd(sr, si, sc):
+        return raw_fn(sr, si, sc), (sr, si, sc)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(ref_fn, *res)
+        return vjp(ct)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mother", "nfft", "dt", "Ablk", "Cblk", "output",
@@ -554,10 +590,15 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
         # (or PYCWT_TPU_SMALL_KERNEL=1) opts into the Pallas kernel (e.g. to
         # re-measure on new hardware).
         if small_kernel:
-            wr, wi = _fused_cwt_small(
-                sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
-                interpret=interpret, precision=prec_small,
-                analytic=analytic_small)
+            # Pallas kernels have no automatic transpose — make the opt-in
+            # small kernel differentiable via the XLA-formulation VJP.
+            small_raw = _with_xla_vjp(
+                lambda sr, si, sc: _fused_cwt_small(
+                    sr, si, sc, mother=mother, nfft=nfft, dt=dt,
+                    interpret=interpret, precision=prec_small,
+                    analytic=analytic_small),
+                mother, nfft, float(dt), "planes")
+            wr, wi = small_raw(sig_r, sig_i, scales)
         else:
             wr, wi = _small_planar_xla(
                 sig_r, sig_i, scales, mother=mother, nfft=nfft, dt=dt,
@@ -580,8 +621,8 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     a_idx = np.arange(R2, dtype=np.float64)
     c_idx = np.arange(R1, dtype=np.float64)
     twf = np.exp(2j * np.pi * np.outer(a_idx, c_idx) / nfft)  # [c(R2), a(R1)]
-    twr = jnp.asarray(twf.real, jnp.float32)
-    twi = jnp.asarray(twf.imag, jnp.float32)
+    twf_r = np.ascontiguousarray(twf.real, np.float32)   # numpy, NOT jnp:
+    twf_i = np.ascontiguousarray(twf.imag, np.float32)   # see _run_big note
 
     # Accept either the full spectrum or (analytic mothers) just its
     # positive-frequency half from fft_of_real_planar(half=True): rows
@@ -595,98 +636,110 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
         raise ValueError(
             f"spectrum length {n_in} incompatible with nfft={nfft} "
             f"(half-spectrum input needs an analytic mother)")
-    xr = sig_r.astype(jnp.float32).reshape(rows_in, R1)
-    xi = sig_i.astype(jnp.float32).reshape(rows_in, R1)
-    scales_flat = scales.astype(jnp.float32)
+    def _run_big(sig_r, sig_i, scales):
+        # NOTE: every jnp constant must be created INSIDE this closure —
+        # _run_big is re-traced by the custom-VJP machinery (_with_xla_vjp),
+        # and a jnp array made in the enclosing jit trace would be a leaked
+        # tracer there (observed as mlir "No constant handler" errors).
+        twr = jnp.asarray(twf_r)
+        twi = jnp.asarray(twf_i)
+        xr = sig_r.astype(jnp.float32).reshape(rows_in, R1)
+        xi = sig_i.astype(jnp.float32).reshape(rows_in, R1)
+        scales_flat = scales.astype(jnp.float32)
 
-    def table_inputs(consts):
-        (f1r, f1i), (wr_, wi_), (f2r, f2i), r1, r2, G1, G2 = consts
-        arrays = [jnp.asarray(a) for a in (f1r, f1i, wr_, wi_, f2r, f2i)]
-        specs = [pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim)
-                 for a in arrays]
-        return arrays, specs, r1, r2, G1, G2
+        def table_inputs(consts):
+            (f1r, f1i), (wr_, wi_), (f2r, f2i), r1, r2, G1, G2 = consts
+            arrays = [jnp.asarray(a) for a in (f1r, f1i, wr_, wi_, f2r, f2i)]
+            specs = [pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim)
+                     for a in arrays]
+            return arrays, specs, r1, r2, G1, G2
 
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": "bf16x2",
-            "fast": jax.lax.Precision.DEFAULT}[precision]
-    analytic = bool(getattr(mother, "analytic_negligible_negative",
-                            lambda: False)())
-    Rrows = R2 // 2 if analytic else R2
-    tab2, tab2_specs, r1b, r2b, G1b, G2b = table_inputs(consts2)
-    kern_a = _make_kernel_a(mother, nfft, dt, R1, R2, Ablk, r1b, r2b, G1b, G2b,
-                            prec, analytic=analytic)
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": "bf16x2",
+                "fast": jax.lax.Precision.DEFAULT}[precision]
+        analytic = bool(getattr(mother, "analytic_negligible_negative",
+                                lambda: False)())
+        Rrows = R2 // 2 if analytic else R2
+        tab2, tab2_specs, r1b, r2b, G1b, G2b = table_inputs(consts2)
+        kern_a = _make_kernel_a(mother, nfft, dt, R1, R2, Ablk, r1b, r2b, G1b, G2b,
+                                prec, analytic=analytic)
 
-    grid_a = (R1 // Ablk, S)
-    # "fast" tier: store the inter-kernel intermediate T in bf16 — kernel B's
-    # first op on it is a single-pass bf16 MXU dot that would round it to
-    # bf16 anyway, so the numerics stay at the fast tier's ~4e-3 while the
-    # T HBM round-trip halves (VERDICT r3 #1b).  Compensated/highest tiers
-    # keep f32 T (bf16 rounding would destroy their error budgets).
-    t_dtype = jnp.bfloat16 if precision == "fast" else jnp.float32
-    t_shape = jax.ShapeDtypeStruct((S, R1, R2), t_dtype)
-    grid_spec_a = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid_a,
-        in_specs=[
-            pl.BlockSpec((Rrows, Ablk), lambda j, s, *refs: (0, j)),
-            pl.BlockSpec((Rrows, Ablk), lambda j, s, *refs: (0, j)),
-            pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
-            pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
-        ] + tab2_specs,
-        out_specs=[
-            pl.BlockSpec((1, Ablk, R2), lambda j, s, *refs: (s, j, 0)),
-            pl.BlockSpec((1, Ablk, R2), lambda j, s, *refs: (s, j, 0)),
-        ],
-    )
-    tr, ti = pl.pallas_call(
-        kern_a,
-        grid_spec=grid_spec_a,
-        out_shape=[t_shape, t_shape],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(scales_flat, xr, xi, twr, twi, *tab2)
+        grid_a = (R1 // Ablk, S)
+        # "fast" tier: store the inter-kernel intermediate T in bf16 — kernel B's
+        # first op on it is a single-pass bf16 MXU dot that would round it to
+        # bf16 anyway, so the numerics stay at the fast tier's ~4e-3 while the
+        # T HBM round-trip halves (VERDICT r3 #1b).  Compensated/highest tiers
+        # keep f32 T (bf16 rounding would destroy their error budgets).
+        t_dtype = jnp.bfloat16 if precision == "fast" else jnp.float32
+        t_shape = jax.ShapeDtypeStruct((S, R1, R2), t_dtype)
+        grid_spec_a = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid_a,
+            in_specs=[
+                pl.BlockSpec((Rrows, Ablk), lambda j, s, *refs: (0, j)),
+                pl.BlockSpec((Rrows, Ablk), lambda j, s, *refs: (0, j)),
+                pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
+                pl.BlockSpec((R2, Ablk), lambda j, s, *refs: (0, j)),
+            ] + tab2_specs,
+            out_specs=[
+                pl.BlockSpec((1, Ablk, R2), lambda j, s, *refs: (s, j, 0)),
+                pl.BlockSpec((1, Ablk, R2), lambda j, s, *refs: (s, j, 0)),
+            ],
+        )
+        tr, ti = pl.pallas_call(
+            kern_a,
+            grid_spec=grid_spec_a,
+            out_shape=[t_shape, t_shape],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(scales_flat, xr, xi, twr, twi, *tab2)
 
-    tab1, tab1_specs, r1a, r2a, G1a, G2a = table_inputs(consts1)
-    # power_sum rides the power-map epilogue + an XLA sum: the in-kernel
-    # partial-sum accumulator (revisiting one output block across the whole
-    # c-grid) measured SLOWER than writing the full |W|² map and reducing
-    # outside (fast tier: 4.44 vs 5.14 ms — tools/tpu_bench_modes.py; the
-    # accumulation defeats kernel B's output double-buffering).  The
-    # accumulator variant remains in _make_kernel_b for re-measurement.
-    kern_mode = "power" if output == "power_sum" else output
-    kern_b = _make_kernel_b(R1, R2, Cblk, r1a, r2a, G1a, G2a, 1.0 / nfft,
-                            kern_mode, prec)
-    grid_b = (S, R2 // Cblk)
-    if kern_mode == "power":
-        out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
-        out_specs = [pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c))]
-    else:
-        out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32),
-                     jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
-        out_specs = [pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c)),
-                     pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c))]
+        tab1, tab1_specs, r1a, r2a, G1a, G2a = table_inputs(consts1)
+        # power_sum rides the power-map epilogue + an XLA sum: the in-kernel
+        # partial-sum accumulator (revisiting one output block across the whole
+        # c-grid) measured SLOWER than writing the full |W|² map and reducing
+        # outside (fast tier: 4.44 vs 5.14 ms — tools/tpu_bench_modes.py; the
+        # accumulation defeats kernel B's output double-buffering).  The
+        # accumulator variant remains in _make_kernel_b for re-measurement.
+        kern_mode = "power" if output == "power_sum" else output
+        kern_b = _make_kernel_b(R1, R2, Cblk, r1a, r2a, G1a, G2a, 1.0 / nfft,
+                                kern_mode, prec)
+        grid_b = (S, R2 // Cblk)
+        if kern_mode == "power":
+            out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
+            out_specs = [pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c))]
+        else:
+            out_shape = [jax.ShapeDtypeStruct((S, R1, R2), jnp.float32),
+                         jax.ShapeDtypeStruct((S, R1, R2), jnp.float32)]
+            out_specs = [pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c)),
+                         pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c))]
 
-    outs = pl.pallas_call(
-        kern_b,
-        grid=grid_b,
-        in_specs=[
-            pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c)),
-            pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c)),
-        ] + tab1_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(tr, ti, *tab1)
+        outs = pl.pallas_call(
+            kern_b,
+            grid=grid_b,
+            in_specs=[
+                pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c)),
+                pl.BlockSpec((1, R1, Cblk), lambda s, c: (s, 0, c)),
+            ] + tab1_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(tr, ti, *tab1)
 
-    if output == "power_sum":
-        return outs[0].reshape(S, nfft).sum(axis=-1)
-    if output == "power":
-        return outs[0].reshape(S, nfft)
-    wr, wi = outs
-    return wr.reshape(S, nfft), wi.reshape(S, nfft)
+        if output == "power_sum":
+            return outs[0].reshape(S, nfft).sum(axis=-1)
+        if output == "power":
+            return outs[0].reshape(S, nfft)
+        wr, wi = outs
+        return wr.reshape(S, nfft), wi.reshape(S, nfft)
+
+    # Differentiable wrapper: primal = the fused Pallas pipeline above,
+    # backward = VJP of the planar-XLA formulation (see _with_xla_vjp).
+    op = _with_xla_vjp(_run_big, mother, nfft, float(dt), output)
+    return op(sig_r, sig_i, scales)
 
 
 def _nfft_factors(nfft: int) -> tuple[int, int]:

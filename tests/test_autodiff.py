@@ -50,3 +50,62 @@ def test_grad_through_reconstruction():
     g = jax.grad(recon_loss)(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_grad_through_fused_planar_pipeline():
+    """The fused Pallas planar CWT is differentiable: the primal runs the
+    kernels, the backward replays the planar-XLA formulation (custom VJP —
+    Pallas has no automatic transpose).  Gradients must match the pure-XLA
+    planar pipeline's, including the scales path through the envelope."""
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+    from pycwt_tpu.ops.pallas_fft import _small_planar_xla, fused_cwt_planar
+
+    rng = np.random.default_rng(3)
+    nfft = 1 << 13  # two-kernel big path
+    x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    scales0 = jnp.asarray([4.0, 16.0, 64.0], jnp.float32)
+    mother = wt.Morlet(6)
+
+    def loss_fused(x, scales):
+        sr, si = fft_of_real_planar(x, nfft)
+        pw = fused_cwt_planar(sr, si, scales, mother=mother, nfft=nfft,
+                              dt=1.0, interpret=True, output="power_sum")
+        return pw.sum() / nfft
+
+    def loss_ref(x, scales):
+        sr, si = fft_of_real_planar(x, nfft)
+        wr, wi = _small_planar_xla(sr, si, scales, mother=mother, nfft=nfft,
+                                   dt=1.0,
+                                   precision=jax.lax.Precision.HIGHEST)
+        return (wr * wr + wi * wi).sum() / nfft
+
+    gx, gs = jax.grad(loss_fused, argnums=(0, 1))(x, scales0)
+    gx_ref, gs_ref = jax.grad(loss_ref, argnums=(0, 1))(x, scales0)
+    assert np.isfinite(np.asarray(gx)).all()
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=0, atol=1e-4 * float(jnp.abs(gx_ref).max()))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gs_ref),
+                               rtol=1e-4)
+
+
+def test_grad_through_small_pallas_kernel():
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+    from pycwt_tpu.ops.pallas_fft import fused_cwt_planar
+
+    rng = np.random.default_rng(4)
+    nfft = 512
+    x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    scales0 = jnp.asarray([4.0, 16.0], jnp.float32)
+    mother = wt.Morlet(6)
+
+    def loss(x, sk):
+        sr, si = fft_of_real_planar(x, nfft)
+        wr, wi = fused_cwt_planar(sr, si, scales0, mother=mother, nfft=nfft,
+                                  dt=1.0, interpret=True, small_kernel=sk)
+        return (wr * wr + wi * wi).sum() / nfft
+
+    g_kern = jax.grad(lambda v: loss(v, True))(x)
+    g_xla = jax.grad(lambda v: loss(v, False))(x)
+    np.testing.assert_allclose(np.asarray(g_kern), np.asarray(g_xla),
+                               rtol=0,
+                               atol=1e-4 * float(jnp.abs(g_xla).max()))
