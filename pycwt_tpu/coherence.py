@@ -33,7 +33,7 @@ from .transform import build_scale_grid, coi_bartlett, cwt_batch
 from .utils.helpers import find, get_cache_dir
 
 __all__ = ["xwt", "xwt_pairs", "xwt_pairs_planar", "xwt_planar", "wct",
-           "wct_pairs", "wct_significance"]
+           "wct_pairs", "wct_matrix", "wct_significance"]
 
 NBINS = 1000  # histogram resolution of the MC coherence CDF (wavelet.py:606)
 
@@ -642,6 +642,157 @@ def wct_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
         )
     coi = coi_bartlett(n0, dt, mother)
     return np.asarray(WCT), np.asarray(aWCT), coi, grid.freqs
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj",
+                                             "engine", "block"))
+def _wct_matrix_scan(yn, pi, pj, scales, dt, *, mother: Mother, nfft: int,
+                     dj: float, engine: str | None, block: int):
+    """All-pairs coherence core: each signal's CWT and self-smoothing are
+    computed ONCE and reused across every pair it appears in; only the
+    cross-spectrum smoothing is per-pair (scanned in blocks).  Per-pair work
+    drops from 2 CWTs + 3 smoothings to 1 smoothing + O(1) elementwise as
+    B grows — the amortization :func:`wct_pairs` cannot express."""
+    from .ops.fft import resolve_engine
+
+    s_col = scales[:, None]
+    nb = pi.shape[0] // block
+    pi_b = pi.reshape(nb, block)
+    pj_b = pj.reshape(nb, block)
+
+    if resolve_engine(engine) == "planar":
+        from .ops.mxu_dft import fft_of_real_planar, supported_n
+        from .ops.pallas_fft import _small_planar_xla, fused_cwt_planar, \
+            supported_nfft
+
+        if not supported_n(nfft):
+            raise ValueError(
+                f"planar WCT needs a power-of-two nfft, got {nfft}.")
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        n0 = yn.shape[-1]
+        yn = jnp.asarray(yn, jnp.float32)
+        scales32 = jnp.asarray(scales, jnp.float32)
+
+        if supported_nfft(nfft):
+            def one_w(a, b):
+                return fused_cwt_planar(a, b, scales32, mother=mother,
+                                        nfft=nfft, dt=float(dt),
+                                        interpret=interpret)
+        else:
+            def one_w(a, b):
+                return _small_planar_xla(a, b, scales32, mother=mother,
+                                         nfft=nfft, dt=float(dt),
+                                         precision=jax.lax.Precision.HIGHEST)
+
+        sr, si = fft_of_real_planar(yn, nfft)
+        wr, wi = jax.vmap(one_w)(sr, si)
+        wr, wi = wr[..., :n0], wi[..., :n0]
+        Sself = smooth_planar_real((wr ** 2 + wi ** 2) / s_col, dt, dj,
+                                   scales, mother)
+
+        def body(carry, blk):
+            ib, jb = blk
+            w1r = jnp.take(wr, ib, axis=0)
+            w1i = jnp.take(wi, ib, axis=0)
+            w2r = jnp.take(wr, jb, axis=0)
+            w2i = jnp.take(wi, jb, axis=0)
+            w12r = w1r * w2r + w1i * w2i
+            w12i = w1i * w2r - w1r * w2i
+            S12r, S12i = smooth_planar_pair(w12r / s_col, w12i / s_col,
+                                            dt, dj, scales, mother)
+            R2 = (S12r ** 2 + S12i ** 2) / (
+                jnp.take(Sself, ib, axis=0) * jnp.take(Sself, jb, axis=0))
+            return carry, (R2, jnp.arctan2(w12i, w12r))
+
+        _, (R2, A) = jax.lax.scan(body, None, (pi_b, pj_b))
+    else:
+        W, _ = cwt_batch(yn, scales, dt, mother=mother, nfft=nfft,
+                         engine=engine)
+        Sself = smooth(jnp.abs(W) ** 2 / s_col, dt, dj, scales, mother,
+                       engine=engine)
+
+        def body(carry, blk):
+            ib, jb = blk
+            W12 = jnp.take(W, ib, axis=0) * jnp.conj(jnp.take(W, jb, axis=0))
+            S12 = smooth(W12 / s_col, dt, dj, scales, mother, engine=engine)
+            R2 = jnp.abs(S12) ** 2 / (
+                jnp.take(Sself, ib, axis=0) * jnp.take(Sself, jb, axis=0))
+            return carry, (R2, jnp.angle(W12))
+
+        _, (R2, A) = jax.lax.scan(body, None, (pi_b, pj_b))
+
+    S = R2.shape[-2]
+    return (R2.reshape(nb * block, S, -1), A.reshape(nb * block, S, -1))
+
+
+def wct_matrix(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
+               normalize=True, config: CWTConfig = DEFAULT, pairs=None,
+               pair_block: int | None = None):
+    """Wavelet coherence of MANY pairs drawn from ``B`` signals, with the
+    per-signal work (CWT + self-smoothing) computed once and shared.
+
+    The all-pairs / sensor-array / teleconnection-grid serving shape: for the
+    default ``pairs=None`` (every unordered pair, ``B·(B−1)/2`` of them) each
+    signal's transform is reused ``B−1`` times, so per-pair cost approaches a
+    single cross-smoothing — ~3× the throughput of :func:`wct_pairs` at
+    large B.  The reference computes one pair per call (``wavelet.py:422``).
+
+    Parameters
+    ----------
+    y: ``(B, n0)`` signals (each normalized independently when ``normalize``).
+    pairs: ``(P, 2)`` integer array of (i, j) indices into ``y``, or ``None``
+        for all ``i < j`` pairs.
+    pair_block: cross-smoothing scan block (bytes-model auto when ``None``).
+
+    Returns ``(WCT, aWCT, coi, freq, pairs)`` with ``WCT``/``aWCT`` of shape
+    ``(P, S, n0)`` and ``pairs`` the ``(P, 2)`` index array used.
+    """
+    mother = as_mother(wavelet)
+    y = np.asarray(y)
+    if y.ndim != 2:
+        raise ValueError(f"wct_matrix expects (B, n0), got {y.shape}")
+    B, n0 = y.shape
+    if pairs is None:
+        pairs = np.array([(i, j) for i in range(B) for j in range(i + 1, B)],
+                         dtype=np.int32)
+    else:
+        pairs = np.asarray(pairs, dtype=np.int32)
+        if pairs.ndim != 2 or pairs.shape[1] != 2:
+            raise ValueError(f"pairs must be (P, 2), got {pairs.shape}")
+        if pairs.size and (pairs.min() < 0 or pairs.max() >= B):
+            raise ValueError("pair indices out of range")
+    P = len(pairs)
+    if P == 0:
+        raise ValueError("no pairs to compute")
+
+    if s0 == -1:
+        s0 = 2 * dt / mother.flambda()
+    if J == -1:
+        J = int(np.round(np.log2(n0 * dt / s0) / dj))
+    if normalize:
+        y_n = (y - y.mean(-1, keepdims=True)) / y.std(-1, keepdims=True)
+    else:
+        y_n = y
+
+    grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
+    nfft = config.fft_length(n0)
+    rdt = config.real_dtype
+    # Per-pair live planes are much smaller than wct_pairs' (only the cross
+    # smoothing chain); the persistent (B, S, n0) W/Sself fields are bounded
+    # by B, not P.
+    blk = pair_block if pair_block is not None else _pairs_block(
+        P, len(grid.sj), nfft, np.dtype(rdt).itemsize, planes=48)
+    blk = int(min(P, blk))
+    npad = (-P) % blk
+    pi = np.concatenate([pairs[:, 0], np.repeat(pairs[-1, 0], npad)])
+    pj = np.concatenate([pairs[:, 1], np.repeat(pairs[-1, 1], npad)])
+    WCT, aWCT = _wct_matrix_scan(
+        jnp.asarray(y_n, rdt), jnp.asarray(pi), jnp.asarray(pj),
+        jnp.asarray(grid.sj, rdt), dt, mother=mother, nfft=nfft, dj=dj,
+        engine=config.engine, block=blk)
+    coi = coi_bartlett(n0, dt, mother)
+    return (np.asarray(WCT)[:P], np.asarray(aWCT)[:P], coi, grid.freqs,
+            pairs)
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj", "batch",

@@ -286,3 +286,44 @@ def test_xwt_pairs_planar_non_pow2_raises():
         wt.xwt_pairs_planar(y, y, 1.0,
                             config=CWTConfig(pad_pow2=False,
                                              engine="planar"))
+
+
+def test_wct_matrix_matches_per_pair_wct():
+    """wct_matrix (shared-CWT all-pairs core) equals independent wct calls
+    for every pair, default all-pairs enumeration, both engine families."""
+    from pycwt_tpu.config import CWTConfig
+
+    rng = np.random.default_rng(41)
+    B, N = 4, 240
+    y = rng.standard_normal((B, N))
+    for cfg in (None, CWTConfig(engine="planar")):
+        kw = dict(dj=1 / 8)
+        if cfg is not None:
+            kw["config"] = cfg
+        WCT, aWCT, coi, freq, pairs = wt.wct_matrix(y, 0.25, pair_block=2,
+                                                    **kw)
+        assert len(pairs) == B * (B - 1) // 2
+        for p, (i, j) in enumerate(pairs):
+            Wij, aij, coi1, freq1, _ = wt.wct(y[i], y[j], 0.25, dj=1 / 8,
+                                              sig=False)
+            tol = 1e-10 if cfg is None else 5e-5 * np.abs(Wij).max()
+            np.testing.assert_allclose(WCT[p], Wij, rtol=0, atol=tol,
+                                       err_msg=f"pair {(i, j)} cfg={cfg}")
+            if cfg is None:
+                np.testing.assert_allclose(aWCT[p], aij, rtol=0, atol=1e-10)
+        np.testing.assert_allclose(coi, coi1)
+        np.testing.assert_allclose(freq, freq1)
+
+
+def test_wct_matrix_explicit_pairs_and_validation():
+    rng = np.random.default_rng(42)
+    y = rng.standard_normal((5, 200))
+    sel = np.array([[0, 3], [2, 2], [4, 1]])
+    WCT, aWCT, _, _, pairs = wt.wct_matrix(y, 1.0, dj=1 / 8, pairs=sel)
+    assert WCT.shape[0] == 3 and (pairs == sel).all()
+    # self-pair coherence is ~1 outside numerical edges
+    assert np.nanmedian(WCT[1]) > 0.99
+    with pytest.raises(ValueError, match="out of range"):
+        wt.wct_matrix(y, 1.0, pairs=[[0, 7]])
+    with pytest.raises(ValueError, match="no pairs"):
+        wt.wct_matrix(y, 1.0, pairs=np.zeros((0, 2), int))
