@@ -3,6 +3,7 @@ from .sharded import (  # noqa: F401
     sharded_cwt,
     sharded_power_pipeline,
     sharded_wct,
+    sharded_wct_matrix,
     sharded_wct_pairs,
     sharded_mc_histogram,
 )

@@ -215,6 +215,47 @@ def sharded_wct_pairs(mesh: Mesh, y1, y2, scales, dt, dj, *,
     return fn(jnp.asarray(y1), jnp.asarray(y2))
 
 
+def sharded_wct_matrix(mesh: Mesh, y, pairs, scales, dt, dj, *,
+                       mother: Mother, nfft: int, engine: str | None = None,
+                       block: int = 8, axis_name: str = "data"):
+    """All-pairs coherence (:func:`pycwt_tpu.coherence.wct_matrix`'s core)
+    with the PAIR axis sharded over the mesh: the signal set is replicated
+    (B signals are the small input), each chip amortizes the full set's CWT +
+    self-smoothings locally and computes its shard of the pair list — zero
+    communication, linear scaling in pairs, amortization preserved per chip.
+
+    ``y``: ``(B, n0)`` raw signals (normalized per signal inside the step);
+    ``pairs``: ``(P, 2)`` int32 indices with ``P`` divisible by
+    ``n_devices·block``.  Returns ``(WCT, aWCT)`` sharded
+    ``P('data', None, None)`` on the pair axis.
+    """
+    from ..coherence import _wct_matrix_scan
+
+    pairs = jnp.asarray(pairs, jnp.int32)
+    D = mesh.shape[axis_name]
+    if pairs.shape[0] % (D * block):
+        raise ValueError(
+            f"pair count {pairs.shape[0]} must be divisible by "
+            f"n_devices*block = {D * block} (pad by repeating pairs)")
+    scales_j = jnp.asarray(scales)
+
+    def local_step(y_full, pi_loc, pj_loc):
+        yn = (y_full - y_full.mean(-1, keepdims=True)) / \
+            y_full.std(-1, keepdims=True)
+        return _wct_matrix_scan(yn, pi_loc, pj_loc, scales_j, dt,
+                                mother=mother, nfft=nfft, dj=dj,
+                                engine=engine, block=block)
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name, None, None), P(axis_name, None, None)),
+        check_vma=False,
+    )
+    y = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P()))
+    return jax.jit(fn)(y, pairs[:, 0], pairs[:, 1])
+
+
 def sharded_mc_histogram(mesh: Mesh, key, scales, outsidecoi, dt, *,
                          mother: Mother, nfft: int, dj: float,
                          per_device_batch: int, n: int, al1: float, al2: float,

@@ -193,3 +193,37 @@ def test_sharded_wct_pairs_equals_host():
                                     J=len(grid.sj) - 1)
     np.testing.assert_allclose(np.asarray(Wsh), Wref, rtol=0, atol=1e-10)
     np.testing.assert_allclose(np.asarray(ash), aref, rtol=0, atol=1e-10)
+
+
+def test_sharded_wct_matrix_equals_single_device(workload):
+    """Pair-axis-sharded all-pairs coherence == the 1-device wct_matrix core
+    (signals replicated, pair list sharded, amortization per chip)."""
+    from pycwt_tpu.coherence import wct_matrix
+    from pycwt_tpu.parallel import sharded_wct_matrix
+
+    X, grid, nfft = workload
+    B = 8
+    # 16 pairs = 8 devices x block 2
+    pairs = np.array([(i, (i + k) % B) for k in (1, 2) for i in range(B)],
+                     np.int32)
+    mesh = make_mesh(MeshSpec(data=8))
+    R_sh, a_sh = sharded_wct_matrix(
+        mesh, jnp.asarray(X, jnp.float32), pairs,
+        jnp.asarray(grid.sj, jnp.float32), DT, 1 / 8, mother=MOTHER,
+        nfft=nfft, block=2)
+    R_ref, a_ref, _, _, _ = wct_matrix(X, DT, dj=1 / 8, pairs=pairs)
+    assert {s.data.shape[0] for s in R_sh.addressable_shards} == {2}
+    np.testing.assert_allclose(np.asarray(R_sh), R_ref, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(a_sh), a_ref, rtol=0, atol=5e-5)
+
+
+def test_sharded_wct_matrix_rejects_ragged_pairs(workload):
+    from pycwt_tpu.parallel import sharded_wct_matrix
+
+    X, grid, nfft = workload
+    mesh = make_mesh(MeshSpec(data=8))
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_wct_matrix(mesh, jnp.asarray(X, jnp.float32),
+                           np.zeros((10, 2), np.int32),
+                           jnp.asarray(grid.sj, jnp.float32), DT, 1 / 8,
+                           mother=MOTHER, nfft=nfft, block=2)
