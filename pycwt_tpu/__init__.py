@@ -19,7 +19,8 @@ Public API mirrors the reference's ``pycwt/__init__.py:85-90``.
 
 from . import mothers, sample  # noqa: F401
 from .api import cwt, cwt_power, icwt, significance  # noqa: F401
-from .coherence import (wct, wct_matrix, wct_pairs, wct_significance, xwt,  # noqa: F401
+from .coherence import (wct, wct_matrix, wct_pairs, wct_significance,  # noqa: F401
+                        wct_significance_batch, xwt,
                         xwt_pairs, xwt_pairs_planar, xwt_planar)
 from .mothers import DOG, MexicanHat, Morlet, Paul  # noqa: F401
 from .stats import ar1, ar1_spectrum, rednoise  # noqa: F401
@@ -29,6 +30,7 @@ __all__ = [
     "cwt", "cwt_power", "icwt", "significance", "xwt", "xwt_pairs",
     "xwt_pairs_planar", "xwt_planar",
     "wct", "wct_matrix", "wct_pairs", "wct_significance",
+    "wct_significance_batch",
     "mothers", "Morlet", "Paul", "DOG", "MexicanHat",
     "ar1", "ar1_spectrum", "rednoise", "find", "rect", "boxpdf",
     "get_cache_dir",

@@ -28,12 +28,14 @@ from .config import CWTConfig, DEFAULT
 from .mothers import Mother, as_mother
 from .ops.smoothing import smooth, smooth_planar_pair, smooth_planar_real
 from .ops.special import chi2_ppf
-from .stats import ar1, ar1_batch, ar1_spectrum, rednoise_members
+from .stats import (ar1, ar1_batch, ar1_spectrum, rednoise_members,
+                    rednoise_members_pairs)
 from .transform import build_scale_grid, coi_bartlett, cwt_batch
 from .utils.helpers import find, get_cache_dir
 
 __all__ = ["xwt", "xwt_pairs", "xwt_pairs_planar", "xwt_planar", "wct",
-           "wct_pairs", "wct_matrix", "wct_significance"]
+           "wct_pairs", "wct_matrix", "wct_significance",
+           "wct_significance_batch"]
 
 NBINS = 1000  # histogram resolution of the MC coherence CDF (wavelet.py:606)
 
@@ -1114,3 +1116,155 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
     if cache and is_coord:
         np.savetxt(f"{cache_dir}/{cache_file}.gz", sig95)
     return sig95
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj",
+                                             "batch", "nchunks", "n", "tau",
+                                             "engine"))
+def _mc_histogram_run_pairs(key, scales, outsidecoi, g1, g2, dt, *,
+                            mother: Mother, nfft: int, dj: float, batch: int,
+                            nchunks: int, n: int, tau: int,
+                            engine: str | None = None):
+    """Monte-Carlo histograms for ``P`` alpha-pairs in ONE compiled run.
+
+    The per-pair AR(1) coefficients ``g1, g2`` are TRACED ``(P,)`` inputs —
+    unlike :func:`_mc_histogram_chunk` (whose static ``al1/al2`` force a
+    fresh ~45 s XLA/Mosaic compile per distinct pair), a sweep over many
+    nulls (e.g. the per-pair significance of :func:`wct_matrix`) compiles
+    once and reuses the executable for ANY coefficients of the same batch
+    shape.  Surrogate member ``(p, m)`` is keyed by (pair slot, global
+    member index) (:func:`pycwt_tpu.stats.rednoise_members_pairs`), so the
+    result is chunking-invariant; the shared burn-in ``tau`` is sized
+    host-side for the largest |g| in the batch.
+
+    Returns ``(P, S, NBINS)`` float32 counts.
+    """
+    P = g1.shape[0]
+    S = scales.shape[0]
+    dtype = scales.dtype
+
+    def chunk(start):
+        k1, k2 = jax.random.split(key)
+        idx = start + jnp.arange(batch)
+        noise1 = rednoise_members_pairs(k1, idx, n, g1, tau, dtype=dtype)
+        noise2 = rednoise_members_pairs(k2, idx, n, g2, tau, dtype=dtype)
+        R2, _, _ = _wct_core(noise1.reshape(P * batch, n),
+                             noise2.reshape(P * batch, n),
+                             scales, dt, mother=mother, nfft=nfft, dj=dj,
+                             engine=engine)
+        bins = jnp.clip(jnp.floor(R2 * NBINS).astype(jnp.int32), 0, NBINS - 1)
+        bins = bins.reshape(P, batch, S, n)
+        # Factored one-hot MXU histogram per pair (see _mc_histogram_chunk).
+        hi = (bins >> 5)[..., None]
+        lo = (bins & 31)[..., None]
+        kidx = jnp.arange(32, dtype=jnp.int32)
+        mask = outsidecoi.astype(jnp.bfloat16)[None, None, :, :, None]
+        h_hi = (hi == kidx).astype(jnp.bfloat16) * mask
+        h_lo = (lo == kidx).astype(jnp.bfloat16)
+        counts = jnp.einsum(
+            "pbsnh,pbsnl->pshl", h_hi, h_lo,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        return counts.reshape(P, S, 1024)[:, :, :NBINS]
+
+    def body(i, acc):
+        return acc + chunk(i * batch)
+
+    return jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((P, S, NBINS), jnp.float32))
+
+
+def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
+                           wavelet="morlet", mc_count=300, progress=True,
+                           cache=True, seed=0, mc_batch=None,
+                           config: CWTConfig = DEFAULT):
+    """:func:`wct_significance` for MANY ``(al1, al2)`` pairs in ONE
+    compiled Monte-Carlo run — the per-pair null curves of an all-pairs
+    analysis (:func:`wct_matrix`) without paying one XLA/Mosaic compile per
+    distinct coefficient pair.
+
+    ``al1, al2``: ``(P,)`` arrays.  Returns a ``(P, J+1)`` array of
+    significance curves, one per pair, same contract as P independent
+    :func:`wct_significance` calls up to MC sampling noise (the batched
+    surface keys member streams by (pair slot, global member index), so its
+    draws differ from the single-pair surface's; agreement is
+    distributional, as between any two seeds).  Results are chunking- and
+    ``mc_batch``-invariant.  With ``cache=True`` each pair's curve is also
+    written to the reference-compatible disk cache, so later single-pair
+    :func:`wct_significance` calls with matching parameters hit it.
+    """
+    mother = as_mother(wavelet)
+    al1 = np.atleast_1d(np.asarray(al1, np.float64))
+    al2 = np.atleast_1d(np.asarray(al2, np.float64))
+    if al1.shape != al2.shape or al1.ndim != 1:
+        raise ValueError(
+            f"al1/al2 must be matching (P,) arrays, got {al1.shape} vs "
+            f"{al2.shape}")
+    P = len(al1)
+
+    if progress:
+        print(f"Calculating wavelet coherence significance "
+              f"({P} alpha-pairs, one compile)")
+
+    ms = s0 * (2 ** (J * dj)) / dt
+    n = int(np.ceil(ms * 6))
+    grid = build_scale_grid(n, dt, dj=dj, s0=s0, J=J, mother=mother)
+    sj, freq = grid.sj, grid.freqs
+    coi = coi_bartlett(n, dt, mother)
+    period = 1.0 / freq[:, None] * np.ones((1, n))
+    outsidecoi = period <= coi[None, :]
+    outsidecoi_any = outsidecoi.any(axis=1)
+    maxscale = find(outsidecoi_any)[-1]
+
+    nfft = config.fft_length(n)
+    if mc_batch is None:
+        # Same bytes model as the single-pair path, shared across the P
+        # pairs of each chunk.
+        mc_batch = max(1, _mc_auto_batch(mc_count, J + 1, nfft, n) // P)
+    nchunks = -(-mc_count // mc_batch)
+    # Shared burn-in sized for the largest |g| (longer burn-in is only
+    # wasted samples, never a distribution change).
+    gmax = float(np.max(np.abs(np.concatenate([al1, al2]))))
+    tau = 0 if gmax == 0 else int(np.ceil(-2 / np.log(min(gmax, 0.999999))))
+
+    dtype = config.real_dtype
+    hist = _mc_histogram_run_pairs(
+        jax.random.PRNGKey(seed), jnp.asarray(sj, dtype),
+        jnp.asarray(outsidecoi), jnp.asarray(al1, dtype),
+        jnp.asarray(al2, dtype), dt, mother=mother, nfft=nfft, dj=dj,
+        batch=mc_batch, nchunks=nchunks, n=n, tau=tau, engine=config.engine)
+    # The ensemble is a whole number of equal chunks, which may round
+    # mc_count UP (e.g. 300 at batch 37 → 333): the extra members are more
+    # draws from the same null — the estimate only tightens, and a ragged
+    # tail chunk would cost a second compiled executable.  The actual count
+    # is reported (and is deterministic for a given (seed, batch shape)).
+    done = nchunks * mc_batch
+    wlc = np.asarray(hist, np.float64)
+    if progress:
+        print(f"  MC surrogates per pair: {done}")
+
+    sig = np.empty((P, J + 1))
+    for p in range(P):
+        sig[p] = mc_significance_from_histogram(
+            wlc[p], int(maxscale), significance_level, outsidecoi_any)
+
+    if cache:
+        # Write each pair's curve under the single-pair surface's cache key
+        # (reference-compatible filename for the defaults) so subsequent
+        # wct_significance(al1[p], al2[p], ...) calls hit the disk cache.
+        cache_dir = get_cache_dir()
+        for p in range(P):
+            with np.errstate(invalid="ignore"):
+                aa = np.round(np.arctanh(np.array([al1[p], al2[p]]) * 4))
+            aa = np.abs(aa) + 0.5 * (aa < 0)
+            name = "wct_sig_{:0.5f}_{:0.5f}_{:0.5f}_{:0.5f}_{:d}_{}".format(
+                aa[0], aa[1], dj, s0 / dt, J, mother.name)
+            if (mc_count, seed) != (300, 0):
+                name += f"_mc{mc_count}_seed{seed}"
+            if (config.engine, config.dtype, config.pad_pow2) != (None, None,
+                                                                  True):
+                name += (f"_cfg{config.engine or 'auto'}-"
+                         f"{np.dtype(config.real_dtype).name}-"
+                         f"p{int(config.pad_pow2)}")
+            np.savetxt(f"{cache_dir}/{name}.gz", sig[p])
+    return sig

@@ -28,7 +28,7 @@ from .ops.special import chi2_ppf
 from .utils.helpers import find
 
 __all__ = ["ar1", "ar1_batch", "ar1_spectrum", "rednoise", "rednoise_batch",
-           "rednoise_members", "significance"]
+           "rednoise_members", "rednoise_members_pairs", "significance"]
 
 
 def ar1(x):
@@ -127,8 +127,11 @@ def ar1_spectrum(freqs, ar1_coeff: float = 0.0):
 def _ar1_recurrence(innovations, g):
     """y[t] = g·y[t−1] + innovations[t] along the last axis, y[−1] = 0,
     via log-depth associative scan (TPU-friendly replacement for the
-    sequential IIR ``lfilter`` at reference ``helpers.py:170``)."""
-    A = jnp.full_like(innovations, g)
+    sequential IIR ``lfilter`` at reference ``helpers.py:170``).  ``g`` may
+    be a scalar or any array broadcastable to ``innovations.shape`` (per-row
+    coefficients — the batched-alpha Monte-Carlo path)."""
+    A = jnp.broadcast_to(jnp.asarray(g, innovations.dtype).astype(
+        innovations.dtype), innovations.shape)
     # First element has no predecessor: its multiplier is irrelevant for the
     # result but keep it g for uniformity (y[0] = b[0] either way since the
     # combine folds left-to-right starting from (g, b0)).
@@ -189,6 +192,32 @@ def rednoise_members(base_key, member_idx, shape_n: int, g, a: float = 1.0,
         lambda k: jax.random.normal(k, (shape_n + tau,), dtype=dtype))(keys)
     y = _ar1_recurrence(z, jnp.asarray(g, dtype=dtype))
     return y[:, tau:]
+
+
+def rednoise_members_pairs(base_key, member_idx, shape_n: int,
+                           g, tau: int, dtype=jnp.float32):
+    """AR(1) surrogates for MANY alpha values at once: member ``(p, m)``'s
+    stream is ``fold_in(fold_in(base_key, p), member_idx[m])`` —
+    deterministic in (seed, pair slot, global member index) regardless of
+    chunking.  Unlike :func:`rednoise_members`, ``g`` is a TRACED ``(P,)``
+    array (no recompile per coefficient — the batched-significance surface);
+    the burn-in ``tau`` is therefore a static argument the caller sizes for
+    the LARGEST |g| in the batch (a longer-than-needed burn-in only discards
+    more samples, never changes distributions).
+
+    Returns ``(P, len(member_idx), shape_n)``.
+    """
+    g = jnp.asarray(g, dtype)
+    P = g.shape[0]
+    keys = jax.vmap(
+        lambda p: jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.fold_in(base_key, p), i)
+        )(member_idx)
+    )(jnp.arange(P))                                   # (P, M) keys
+    z = jax.vmap(jax.vmap(
+        lambda k: jax.random.normal(k, (shape_n + tau,), dtype=dtype)))(keys)
+    y = _ar1_recurrence(z, g[:, None, None])
+    return y[..., tau:]
 
 
 def rednoise(N: int, g: float, a: float = 1.0, seed: int | None = None):

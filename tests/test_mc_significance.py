@@ -224,3 +224,50 @@ def test_mc_auto_batch_default_matches_explicit():
     s_auto = wct_significance(0.5, 0.6, mc_batch=None, **kw)
     s_explicit = wct_significance(0.5, 0.6, mc_batch=5, **kw)
     np.testing.assert_array_equal(s_auto, s_explicit)
+
+
+def test_wct_significance_batch_chunking_invariant():
+    """The batched-alpha MC surface is mc_batch-invariant (member streams
+    keyed by (pair slot, global index))."""
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=12, progress=False,
+              cache=False, seed=2)
+    a = wct_significance_batch([0.4, 0.7], [0.5, 0.2], mc_batch=3, **kw)
+    b = wct_significance_batch([0.4, 0.7], [0.5, 0.2], mc_batch=6, **kw)
+    assert a.shape == (2, 8)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_wct_significance_batch_agrees_with_single_pair():
+    """Each batched curve agrees with the single-pair surface to MC noise
+    (different member streams by design — distributional agreement, like
+    two seeds of the same null), and zero/white-noise alphas work."""
+    from pycwt_tpu.coherence import wct_significance, wct_significance_batch
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, progress=False, cache=False)
+    batch = wct_significance_batch([0.0, 0.6], [0.0, 0.5], mc_count=64,
+                                   seed=3, mc_batch=16, **kw)
+    for p, (a1_, a2_) in enumerate([(0.0, 0.0), (0.6, 0.5)]):
+        single = wct_significance(a1_, a2_, mc_count=64, seed=4, mc_batch=16,
+                                  **kw)
+        valid = np.isfinite(single) & (single != 0) & np.isfinite(batch[p])
+        assert valid.any()
+        assert np.abs(batch[p][valid] - single[valid]).max() < 0.25
+
+
+def test_wct_significance_batch_seeds_single_pair_cache(tmp_path,
+                                                        monkeypatch, capsys):
+    """Curves written by the batch surface are picked up by later
+    single-pair wct_significance calls (reference-compatible keys)."""
+    from pycwt_tpu.coherence import wct_significance, wct_significance_batch
+
+    monkeypatch.setenv("PYCWT_TPU_CACHE_DIR", str(tmp_path))
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=8, seed=6,
+              progress=False)
+    batch = wct_significance_batch([0.3], [0.4], cache=True, mc_batch=4,
+                                   **kw)
+    got = wct_significance(0.3, 0.4, cache=True, **kw)
+    out = capsys.readouterr().out
+    assert "loaded from cache" in out
+    np.testing.assert_allclose(got, batch[0], atol=1e-12)
