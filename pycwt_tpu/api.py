@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from .config import CWTConfig, DEFAULT
 from .mothers import as_mother
 from .stats import significance  # noqa: F401  (re-exported, implemented in stats)
-from .transform import build_scale_grid, coi_bartlett, cwt_batch
+from .transform import (build_scale_grid, coi_bartlett, cwt_batch,
+                        drop_reference_nan_rows)
 
 __all__ = ["cwt", "cwt_power", "icwt", "significance"]
 
@@ -52,14 +53,9 @@ def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None,
     nfft = config.fft_length(n0)
     ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
 
-    # Host-side replica of the reference's NaN-row drop (wavelet.py:111-115):
-    # a row is dropped iff the reference's naive f64 filter formula would have
-    # produced non-finite values in it.  (If *all* rows are bad the reference
-    # keeps everything — `np.any(sel)` is False — replicated here.)
-    bad = mother.reference_nan_rows(sj, ftfreqs_np)
-    if (~bad).any():
-        sj = sj[~bad]
-        out_freqs = out_freqs[~bad]
+    # Host-side replica of the reference's NaN-row drop (wavelet.py:111-115)
+    # — one shared implementation for every scale-axis surface.
+    sj, out_freqs = drop_reference_nan_rows(mother, sj, out_freqs, nfft, dt)
 
     W, signal_ft = cwt_batch(signal[None, :], jnp.asarray(sj), dt, mother=mother,
                              nfft=nfft, config=config)
@@ -78,11 +74,15 @@ def cwt(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None,
 
 
 def _cwt_planar_parts(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
-                      freqs=None, config: CWTConfig = DEFAULT):
-    """The :func:`cwt` pipeline with PLANAR output: ``(wr, wi, sj, freqs,
-    coi)``, each plane ``(n_scales, n0)`` f32, computed with no complex dtype
-    anywhere (same grid/COI/NaN-row semantics as :func:`cwt`).  Requires a
-    pow-2 ``nfft``; callers gate on :func:`pycwt_tpu.ops.mxu_dft.supported_n`.
+                      freqs=None, config: CWTConfig = DEFAULT,
+                      output: str = "planes"):
+    """The :func:`cwt` pipeline with PLANAR output, computed with no complex
+    dtype anywhere (same grid/COI/NaN-row semantics as :func:`cwt`).
+    ``output="planes"`` returns ``(wr, wi, sj, freqs, coi)`` with each plane
+    ``(n_scales, n0)`` f32; ``output="power"`` returns ``(power, sj, freqs,
+    coi)`` with |W|² written inside kernel B's epilogue — planar W never
+    round-trips HBM or the host link (VERDICT r3 #1c).  Requires a pow-2
+    ``nfft``; callers gate on :func:`pycwt_tpu.ops.mxu_dft.supported_n`.
     """
     from .ops.mxu_dft import fft_of_real_planar
     from .ops.pallas_fft import fused_cwt_planar
@@ -92,21 +92,20 @@ def _cwt_planar_parts(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
     n0 = len(signal)
 
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother, freqs=freqs)
-    sj, out_freqs = grid.sj, grid.freqs
-
     nfft = config.fft_length(n0)
-    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
-    bad = mother.reference_nan_rows(sj, ftfreqs_np)
-    if (~bad).any():
-        sj = sj[~bad]
-        out_freqs = out_freqs[~bad]
+    sj, out_freqs = drop_reference_nan_rows(mother, grid.sj, grid.freqs,
+                                            nfft, dt)
     coi = coi_bartlett(n0, dt, mother)
 
     interpret = jax.default_backend() not in ("tpu", "axon")
     sr, si = fft_of_real_planar(jnp.asarray(signal, jnp.float32), nfft)
-    wr, wi = fused_cwt_planar(
+    out = fused_cwt_planar(
         sr, si, jnp.asarray(sj, jnp.float32), mother=mother, nfft=nfft,
-        dt=float(dt), interpret=interpret, precision=config.precision)
+        dt=float(dt), interpret=interpret, precision=config.precision,
+        output=output)
+    if output == "power":
+        return np.asarray(out[:, :n0]), sj, out_freqs, coi
+    wr, wi = out
     return (np.asarray(wr[:, :n0]), np.asarray(wi[:, :n0]), sj, out_freqs,
             coi)
 
@@ -129,8 +128,7 @@ def cwt_power(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
     round-off.
     """
     from .ops.fft import resolve_engine
-    from .ops.mxu_dft import fft_of_real_planar, supported_n
-    from .ops.pallas_fft import fused_cwt_planar
+    from .ops.mxu_dft import supported_n
 
     signal = np.asarray(signal)
     n0 = len(signal)
@@ -140,23 +138,9 @@ def cwt_power(signal, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
         # |W|² is computed INSIDE kernel B's epilogue (output="power"):
         # planar W never round-trips HBM — half the write traffic and half
         # the host transfer of the planes-then-square path (VERDICT r3 #1c).
-        mother = as_mother(wavelet)
-        grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother,
-                                freqs=freqs)
-        sj, out_freqs = grid.sj, grid.freqs
-        ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
-        bad = mother.reference_nan_rows(sj, ftfreqs_np)
-        if (~bad).any():
-            sj = sj[~bad]
-            out_freqs = out_freqs[~bad]
-        coi = coi_bartlett(n0, dt, mother)
-        interpret = jax.default_backend() not in ("tpu", "axon")
-        sr, si = fft_of_real_planar(jnp.asarray(signal, jnp.float32), nfft)
-        pw = fused_cwt_planar(
-            sr, si, jnp.asarray(sj, jnp.float32), mother=mother, nfft=nfft,
-            dt=float(dt), interpret=interpret, precision=config.precision,
-            output="power")
-        power = np.asarray(pw[:, :n0])
+        power, sj, out_freqs, coi = _cwt_planar_parts(
+            signal, dt, dj=dj, s0=s0, J=J, wavelet=wavelet, freqs=freqs,
+            config=config, output="power")
     else:
         W, sj, out_freqs, coi, _, _ = cwt(signal, dt, dj=dj, s0=s0, J=J,
                                           wavelet=wavelet, freqs=freqs,

@@ -30,7 +30,8 @@ from .ops.smoothing import smooth, smooth_planar_pair, smooth_planar_real
 from .ops.special import chi2_ppf
 from .stats import (ar1, ar1_batch, ar1_spectrum, rednoise_members,
                     rednoise_members_pairs)
-from .transform import build_scale_grid, coi_bartlett, cwt_batch
+from .transform import (build_scale_grid, coi_bartlett, cwt_batch,
+                        drop_reference_nan_rows)
 from .utils.helpers import find, get_cache_dir
 
 __all__ = ["xwt", "xwt_pairs", "xwt_pairs_planar", "xwt_planar", "wct",
@@ -360,15 +361,9 @@ def xwt_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
 
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
     nfft = config.fft_length(n0)
-    # Same host-side NaN-row drop as api.cwt (reference wavelet.py:111-115) so
-    # batched results have identical scale counts to per-pair xwt for mothers
-    # that overflow at large scales (e.g. Paul) — ADVICE r3.
-    sj, freqs = grid.sj, grid.freqs
-    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
-    bad = mother.reference_nan_rows(sj, ftfreqs_np)
-    if (~bad).any():
-        sj = sj[~bad]
-        freqs = freqs[~bad]
+    # Same host-side NaN-row drop as api.cwt (shared helper) so batched
+    # results keep identical scale axes to per-pair xwt — ADVICE r3.
+    sj, freqs = drop_reference_nan_rows(mother, grid.sj, grid.freqs, nfft, dt)
     rdt = config.real_dtype
     B = y1.shape[0]
     blk = pair_block if pair_block is not None else _pairs_block(
@@ -552,12 +547,7 @@ def xwt_pairs_planar(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
         y1_n, y2_n = y1, y2
 
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
-    sj, freqs = grid.sj, grid.freqs
-    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
-    bad = mother.reference_nan_rows(sj, ftfreqs_np)
-    if (~bad).any():
-        sj = sj[~bad]
-        freqs = freqs[~bad]
+    sj, freqs = drop_reference_nan_rows(mother, grid.sj, grid.freqs, nfft, dt)
     B = y1.shape[0]
     blk = pair_block if pair_block is not None else _pairs_block(
         B, len(sj), nfft, 4, planes=24)
@@ -647,9 +637,10 @@ def wct_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj",
-                                             "engine", "block"))
+                                             "engine", "block", "precision"))
 def _wct_matrix_scan(yn, pi, pj, scales, dt, *, mother: Mother, nfft: int,
-                     dj: float, engine: str | None, block: int):
+                     dj: float, engine: str | None, block: int,
+                     precision: str = "high"):
     """All-pairs coherence core: each signal's CWT and self-smoothing are
     computed ONCE and reused across every pair it appears in; only the
     cross-spectrum smoothing is per-pair (scanned in blocks).  Per-pair work
@@ -679,7 +670,8 @@ def _wct_matrix_scan(yn, pi, pj, scales, dt, *, mother: Mother, nfft: int,
             def one_w(a, b):
                 return fused_cwt_planar(a, b, scales32, mother=mother,
                                         nfft=nfft, dt=float(dt),
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        precision=precision)
         else:
             def one_w(a, b):
                 return _small_planar_xla(a, b, scales32, mother=mother,
@@ -791,7 +783,7 @@ def wct_matrix(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
     WCT, aWCT = _wct_matrix_scan(
         jnp.asarray(y_n, rdt), jnp.asarray(pi), jnp.asarray(pj),
         jnp.asarray(grid.sj, rdt), dt, mother=mother, nfft=nfft, dj=dj,
-        engine=config.engine, block=blk)
+        engine=config.engine, block=blk, precision=config.precision)
     coi = coi_bartlett(n0, dt, mother)
     return (np.asarray(WCT)[:P], np.asarray(aWCT)[:P], coi, grid.freqs,
             pairs)
@@ -890,6 +882,35 @@ def mc_significance_from_histogram(wlc: np.ndarray, maxscale: int,
     return sig95
 
 
+def _sig_cache_name(al1: float, al2: float, dj: float, s0: float, dt: float,
+                    J: int, mother: Mother, mc_count: int, seed: int,
+                    config: CWTConfig) -> str:
+    """Reference-compatible MC-cache filename (``wavelet.py:575-578``): α's
+    folded through ``round(arctanh(4α))`` so nearby coefficients share an
+    entry; the reference's exact name for the default ``(mc_count=300,
+    seed=0)`` so caches interoperate, suffixed for non-default counts/seeds
+    and non-default numeric policies (ADVICE r2).  ONE implementation —
+    :func:`wct_significance` and :func:`wct_significance_batch` must agree
+    byte-for-byte or batch-written curves stop seeding single-pair calls."""
+    with np.errstate(invalid="ignore"):
+        # α > 0.25 puts arctanh(4α) out of domain — the reference formats
+        # the resulting nan into the filename; replicate silently.
+        aa = np.round(np.arctanh(np.array([al1, al2]) * 4))
+    aa = np.abs(aa) + 0.5 * (aa < 0)
+    name = "wct_sig_{:0.5f}_{:0.5f}_{:0.5f}_{:0.5f}_{:d}_{}".format(
+        aa[0], aa[1], dj, s0 / dt, J, mother.name)
+    if (mc_count, seed) != (300, 0):
+        name += f"_mc{mc_count}_seed{seed}"
+    if (config.engine, config.dtype, config.pad_pow2) != (None, None, True):
+        # Non-default numeric policy changes the curve within histogram-bin
+        # tolerance; isolate its cache entries so an f32/planar run can
+        # never return a curve cached by an f64/xla run.
+        name += (f"_cfg{config.engine or 'auto'}-"
+                 f"{np.dtype(config.real_dtype).name}-"
+                 f"p{int(config.pad_pow2)}")
+    return name
+
+
 def _mc_auto_batch(mc_count: int, S: int, nfft: int, n: int,
                    budget_bytes: float = 5e9) -> int:
     """Largest Monte-Carlo chunk fitting a conservative HBM budget — so the
@@ -959,30 +980,8 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
     is_coord = jax.process_index() == 0
 
     if cache:
-        # Reference-compatible key (wavelet.py:575-578): α's folded through
-        # round(arctanh(4α)) so nearby coefficients share an entry.  The
-        # reference's key carries neither mc_count nor a seed (it has no
-        # seed); we keep its exact filename for the default (mc_count=300,
-        # seed=0) so caches interoperate, and suffix any non-default
-        # (mc_count, seed) so a higher-count or re-seeded run can never
-        # silently return a stale default-run curve.
-        with np.errstate(invalid="ignore"):
-            # α > 0.25 puts arctanh(4α) out of domain — the reference formats
-            # the resulting nan into the filename; replicate silently.
-            aa = np.round(np.arctanh(np.array([al1, al2]) * 4))
-        aa = np.abs(aa) + 0.5 * (aa < 0)
-        cache_file = "wct_sig_{:0.5f}_{:0.5f}_{:0.5f}_{:0.5f}_{:d}_{}".format(
-            aa[0], aa[1], dj, s0 / dt, J, mother.name
-        )
-        if (mc_count, seed) != (300, 0):
-            cache_file += f"_mc{mc_count}_seed{seed}"
-        if (config.engine, config.dtype, config.pad_pow2) != (None, None, True):
-            # Non-default numeric policy changes the curve within histogram-
-            # bin tolerance; isolate its cache entries so an f32/planar run
-            # can never return a curve cached by an f64/xla run (ADVICE r2).
-            cache_file += (f"_cfg{config.engine or 'auto'}-"
-                           f"{np.dtype(config.real_dtype).name}-"
-                           f"p{int(config.pad_pow2)}")
+        cache_file = _sig_cache_name(al1, al2, dj, s0, dt, J, mother,
+                                     mc_count, seed, config)
         cache_dir = get_cache_dir()
         cached = None
         if is_coord:
@@ -1200,6 +1199,12 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
         raise ValueError(
             f"al1/al2 must be matching (P,) arrays, got {al1.shape} vs "
             f"{al2.shape}")
+    if not (np.isfinite(al1).all() and np.isfinite(al2).all()):
+        bad = np.nonzero(~(np.isfinite(al1) & np.isfinite(al2)))[0]
+        raise ValueError(
+            f"non-finite AR(1) coefficients at pair slots {bad.tolist()} — "
+            "ar1_batch returns NaN for rows where ar1 would raise Warning; "
+            "mask those pairs or substitute a white-noise null (alpha=0)")
     P = len(al1)
 
     if progress:
@@ -1221,6 +1226,7 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
         # Same bytes model as the single-pair path, shared across the P
         # pairs of each chunk.
         mc_batch = max(1, _mc_auto_batch(mc_count, J + 1, nfft, n) // P)
+    mc_batch = min(int(mc_batch), mc_count)
     nchunks = -(-mc_count // mc_batch)
     # Shared burn-in sized for the largest |g| (longer burn-in is only
     # wasted samples, never a distribution change).
@@ -1248,23 +1254,15 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
         sig[p] = mc_significance_from_histogram(
             wlc[p], int(maxscale), significance_level, outsidecoi_any)
 
-    if cache:
+    if cache and jax.process_index() == 0:
         # Write each pair's curve under the single-pair surface's cache key
-        # (reference-compatible filename for the defaults) so subsequent
-        # wct_significance(al1[p], al2[p], ...) calls hit the disk cache.
+        # (shared _sig_cache_name) so subsequent wct_significance(al1[p],
+        # al2[p], ...) calls hit the disk cache.  Coordinator-only, like the
+        # single-pair surface — concurrent multi-host writes would corrupt
+        # the shared files.
         cache_dir = get_cache_dir()
         for p in range(P):
-            with np.errstate(invalid="ignore"):
-                aa = np.round(np.arctanh(np.array([al1[p], al2[p]]) * 4))
-            aa = np.abs(aa) + 0.5 * (aa < 0)
-            name = "wct_sig_{:0.5f}_{:0.5f}_{:0.5f}_{:0.5f}_{:d}_{}".format(
-                aa[0], aa[1], dj, s0 / dt, J, mother.name)
-            if (mc_count, seed) != (300, 0):
-                name += f"_mc{mc_count}_seed{seed}"
-            if (config.engine, config.dtype, config.pad_pow2) != (None, None,
-                                                                  True):
-                name += (f"_cfg{config.engine or 'auto'}-"
-                         f"{np.dtype(config.real_dtype).name}-"
-                         f"p{int(config.pad_pow2)}")
+            name = _sig_cache_name(al1[p], al2[p], dj, s0, dt, J, mother,
+                                   mc_count, seed, config)
             np.savetxt(f"{cache_dir}/{name}.gz", sig[p])
     return sig

@@ -217,7 +217,8 @@ def sharded_wct_pairs(mesh: Mesh, y1, y2, scales, dt, dj, *,
 
 def sharded_wct_matrix(mesh: Mesh, y, pairs, scales, dt, dj, *,
                        mother: Mother, nfft: int, engine: str | None = None,
-                       block: int = 8, axis_name: str = "data"):
+                       block: int = 8, axis_name: str = "data",
+                       precision: str = "high"):
     """All-pairs coherence (:func:`pycwt_tpu.coherence.wct_matrix`'s core)
     with the PAIR axis sharded over the mesh: the signal set is replicated
     (B signals are the small input), each chip amortizes the full set's CWT +
@@ -244,7 +245,8 @@ def sharded_wct_matrix(mesh: Mesh, y, pairs, scales, dt, dj, *,
             y_full.std(-1, keepdims=True)
         return _wct_matrix_scan(yn, pi_loc, pj_loc, scales_j, dt,
                                 mother=mother, nfft=nfft, dj=dj,
-                                engine=engine, block=block)
+                                engine=engine, block=block,
+                                precision=precision)
 
     fn = shard_map(
         local_step, mesh=mesh,

@@ -68,39 +68,28 @@ def ar1(x):
     return g, a, mu2
 
 
-@jax.jit
-def _lag_covariances(x):
-    """Device-batched ``(c0, c1)`` lag covariances of demeaned rows of a
-    ``(B, N)`` array — the only O(B·N) part of :func:`ar1`, as two batched
-    dot products (one fused XLA pass instead of a host loop over pairs)."""
-    N = x.shape[-1]
-    x = x - x.mean(-1, keepdims=True)
-    c0 = jnp.einsum("bn,bn->b", x, x,
-                    precision=jax.lax.Precision.HIGHEST) / N
-    c1 = jnp.einsum("bn,bn->b", x[:, :-1], x[:, 1:],
-                    precision=jax.lax.Precision.HIGHEST) / (N - 1)
-    return c0, c1
-
-
 def ar1_batch(x):
     """Batched :func:`ar1` over the rows of a ``(B, N)`` array.
 
-    The lag-covariance dots (the O(B·N) work) run on device in one batched
-    dispatch; the Grinsted quadratic — O(B) scalars — is solved host-side in
-    float64 exactly as the per-series :func:`ar1`.  Rows whose discriminant is
-    non-positive (where :func:`ar1` raises ``Warning``) return NaN instead —
-    a batch cannot abort on one bad member; callers mask or fall back to
-    white noise per row.
+    The lag covariances are two vectorized float64 einsums (no Python loop
+    over B) and the Grinsted quadratic is solved in float64 — bit-compatible
+    with the per-series :func:`ar1` on every backend.  (An f32 device-dot
+    variant was rejected: the quadratic's discriminant carries O(c·N²) terms
+    whose cancellation amplifies f32 rounding near |g| → 1, and TPU has no
+    f64 dots — ADVICE r4.)  Rows whose discriminant is non-positive (where
+    :func:`ar1` raises ``Warning``) return NaN instead — a batch cannot
+    abort on one bad member; callers mask or fall back to white noise per
+    row.
 
     Returns ``(g, a, mu2)`` — each a ``(B,)`` float64 array.
     """
-    x = np.asarray(x)
+    x = np.asarray(x, np.float64)
     if x.ndim != 2:
         raise ValueError(f"ar1_batch expects (B, N), got {x.shape}")
     N = x.shape[-1]
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    c0, c1 = (np.asarray(v, np.float64)
-              for v in _lag_covariances(jnp.asarray(x, dtype)))
+    xd = x - x.mean(-1, keepdims=True)
+    c0 = np.einsum("bn,bn->b", xd, xd) / N
+    c1 = np.einsum("bn,bn->b", xd[:, :-1], xd[:, 1:]) / (N - 1)
 
     B = -c1 * N - c0 * N ** 2 - 2 * c0 + 2 * c1 - c1 * N ** 2 + c0 * N
     A = c0 * N ** 2
@@ -130,8 +119,8 @@ def _ar1_recurrence(innovations, g):
     sequential IIR ``lfilter`` at reference ``helpers.py:170``).  ``g`` may
     be a scalar or any array broadcastable to ``innovations.shape`` (per-row
     coefficients — the batched-alpha Monte-Carlo path)."""
-    A = jnp.broadcast_to(jnp.asarray(g, innovations.dtype).astype(
-        innovations.dtype), innovations.shape)
+    A = jnp.broadcast_to(jnp.asarray(g, innovations.dtype),
+                         innovations.shape)
     # First element has no predecessor: its multiplier is irrelevant for the
     # result but keep it g for uniformity (y[0] = b[0] either way since the
     # combine folds left-to-right starting from (g, b0)).

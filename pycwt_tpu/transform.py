@@ -30,6 +30,7 @@ from .ops.filterbank import angular_frequencies, apply_filter_bank
 __all__ = [
     "ScaleGrid",
     "build_scale_grid",
+    "drop_reference_nan_rows",
     "cwt_batch",
     "icwt_batch",
     "coi_bartlett",
@@ -75,6 +76,25 @@ def build_scale_grid(
         J = len(sj) - 1
         s0 = float(sj[0]) if len(sj) else -1.0
     return ScaleGrid(sj=np.asarray(sj, dtype=np.float64), freqs=freqs, dj=dj, s0=float(s0), J=int(J))
+
+
+def drop_reference_nan_rows(mother: Mother, sj: np.ndarray, freqs: np.ndarray,
+                            nfft: int, dt: float):
+    """Host-side replica of the reference's data-dependent NaN-row drop
+    (``wavelet.py:111-115``): a scale row is dropped iff the reference's
+    naive f64 filter formula would have produced non-finite values in it
+    (e.g. Paul overflow at large scales) — INCLUDING the reference's quirk
+    that when *all* rows are bad, everything is kept (``np.any(sel)`` is
+    False there).  One shared implementation for every surface that must
+    keep its scale axis aligned with :func:`pycwt_tpu.api.cwt`.
+
+    Returns the (possibly filtered) ``(sj, freqs)``.
+    """
+    ftfreqs_np = 2 * np.pi * np.fft.fftfreq(nfft, dt)
+    bad = mother.reference_nan_rows(sj, ftfreqs_np)
+    if (~bad).any():
+        return sj[~bad], freqs[~bad]
+    return sj, freqs
 
 
 def coi_bartlett(n0: int, dt: float, mother: Mother) -> np.ndarray:

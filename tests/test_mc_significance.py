@@ -271,3 +271,22 @@ def test_wct_significance_batch_seeds_single_pair_cache(tmp_path,
     out = capsys.readouterr().out
     assert "loaded from cache" in out
     np.testing.assert_allclose(got, batch[0], atol=1e-12)
+
+
+def test_wct_significance_batch_rejects_nan_alpha():
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    with pytest.raises(ValueError, match="non-finite"):
+        wct_significance_batch([0.5, np.nan], [0.4, 0.3], dt=1.0, dj=1 / 4,
+                               s0=2.0, J=7, mc_count=8, progress=False,
+                               cache=False)
+
+
+def test_wct_significance_batch_clamps_oversized_mc_batch():
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=6, progress=False,
+              cache=False, seed=2)
+    a = wct_significance_batch([0.4], [0.5], mc_batch=1000, **kw)
+    b = wct_significance_batch([0.4], [0.5], mc_batch=6, **kw)
+    np.testing.assert_array_equal(a, b)  # clamped to mc_count, same draws
