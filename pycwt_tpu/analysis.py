@@ -28,7 +28,7 @@ from .stats import ar1
 from .utils.helpers import boxpdf
 
 __all__ = ["CWTAnalysis", "cwt_analysis", "global_spectrum", "xwt_analysis",
-           "wct_analysis", "phase_arrows"]
+           "wct_analysis", "wct_matrix_analysis", "phase_arrows"]
 
 
 def global_spectrum(signal, dt: float, dj: float = 1 / 12, s0: float = -1,
@@ -261,6 +261,57 @@ def wct_analysis(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
         wavelet=mother, **kwargs)
     return dict(WCT=WCT, phase=aWCT, coi=coi, freq=freq, period=1 / freq,
                 sig95=sig95)
+
+
+def wct_matrix_analysis(y, dt, dj=1 / 12, s0=-1, J=-1, mother="morlet",
+                        significance_level=0.8646, sig: bool = True,
+                        pairs=None, mc_count=300, seed=0, cache=True,
+                        normalize=True):
+    """All-pairs coherence analysis of ``B`` signals with per-pair
+    Monte-Carlo nulls — the production serving workflow of
+    :func:`pycwt_tpu.coherence.wct_matrix` +
+    :func:`pycwt_tpu.coherence.wct_significance_batch` as one call
+    (tutorial §11; the reference computes one pair and one null per call).
+
+    Each signal's CWT/self-smoothing is computed once and shared across its
+    pairs; the P null ensembles (one per pair, AR(1) coefficients fitted
+    per signal with :func:`pycwt_tpu.stats.ar1_batch`, white-noise fallback
+    where the fit is degenerate) run in ONE compiled Monte-Carlo dispatch.
+
+    Returns a dict with ``WCT``/``phase`` ``(P, S, n0)``, ``pairs`` ``(P,
+    2)``, ``sig95`` ``(P, S)`` (or 0 when ``sig=False``), ``alpha`` ``(B,)``,
+    ``coi``, ``freq``, ``period``.
+    """
+    from .coherence import wct_matrix, wct_significance_batch
+    from .mothers import as_mother as _as_mother
+    from .stats import ar1_batch
+    from .transform import build_scale_grid
+
+    m = _as_mother(mother)
+    y = np.asarray(y, np.float64)
+    B, n0 = y.shape
+    if s0 == -1:
+        s0 = 2 * dt / m.flambda()
+    if J == -1:
+        J = int(np.round(np.log2(n0 * dt / s0) / dj))
+
+    WCT, aWCT, coi, freq, pairs_out = wct_matrix(
+        y, dt, dj=dj, s0=s0, J=J, wavelet=m, pairs=pairs,
+        normalize=normalize)
+
+    g, _, _ = ar1_batch(y)
+    # White-noise fallback for degenerate fits, as the sample scripts do.
+    g = np.where(np.isfinite(g), g, 0.0)
+
+    if sig:
+        sig95 = wct_significance_batch(
+            g[pairs_out[:, 0]], g[pairs_out[:, 1]], dt=dt, dj=dj, s0=s0,
+            J=J, significance_level=significance_level, wavelet=m,
+            mc_count=mc_count, seed=seed, cache=cache, progress=False)
+    else:
+        sig95 = np.asarray([0])
+    return dict(WCT=WCT, phase=aWCT, pairs=pairs_out, sig95=sig95,
+                alpha=g, coi=coi, freq=freq, period=1 / freq)
 
 
 def phase_arrows(phase: np.ndarray):

@@ -148,3 +148,32 @@ def test_xwt_analysis_planar_engine_matches(monkeypatch):
     m = ref["cross_power"] > 1e-3 * scale
     dphi = np.angle(np.exp(1j * (got["phase"] - ref["phase"])))
     assert np.abs(dphi[m]).max() < 1e-3
+
+
+def test_wct_matrix_analysis_composes_pieces():
+    """wct_matrix_analysis == wct_matrix + ar1_batch + batched nulls,
+    with the degenerate-fit white-noise fallback applied."""
+    from pycwt_tpu.analysis import wct_matrix_analysis
+    from pycwt_tpu.coherence import wct_matrix, wct_significance_batch
+    from pycwt_tpu.stats import ar1_batch
+
+    rng = np.random.default_rng(51)
+    B, N = 4, 220
+    y = rng.standard_normal((B, N))
+    out = wct_matrix_analysis(y, 0.5, dj=1 / 8, mc_count=8, cache=False,
+                              seed=5)
+    P = B * (B - 1) // 2
+    assert out["WCT"].shape[0] == P and out["sig95"].shape[0] == P
+    WCT_ref, _, _, _, pairs = wct_matrix(y, 0.5, dj=1 / 8)
+    np.testing.assert_allclose(out["WCT"], WCT_ref, atol=1e-12)
+    g, _, _ = ar1_batch(y)
+    import pycwt_tpu as wt
+    m = wt.Morlet(6)
+    s0 = 2 * 0.5 / m.flambda()
+    J = int(np.round(np.log2(N * 0.5 / s0) / (1 / 8)))
+    sig_ref = wct_significance_batch(g[pairs[:, 0]], g[pairs[:, 1]], dt=0.5,
+                                     dj=1 / 8, s0=s0, J=J,
+                                     significance_level=0.8646, mc_count=8,
+                                     seed=5, cache=False, progress=False)
+    np.testing.assert_array_equal(out["sig95"], sig_ref)
+    assert out["alpha"].shape == (B,) and np.isfinite(out["alpha"]).all()
