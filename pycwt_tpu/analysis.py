@@ -285,7 +285,6 @@ def wct_matrix_analysis(y, dt, dj=1 / 12, s0=-1, J=-1, mother="morlet",
     from .coherence import wct_matrix, wct_significance_batch
     from .mothers import as_mother as _as_mother
     from .stats import ar1_batch
-    from .transform import build_scale_grid
 
     m = _as_mother(mother)
     y = np.asarray(y, np.float64)
@@ -300,8 +299,11 @@ def wct_matrix_analysis(y, dt, dj=1 / 12, s0=-1, J=-1, mother="morlet",
         normalize=normalize)
 
     g, _, _ = ar1_batch(y)
-    # White-noise fallback for degenerate fits, as the sample scripts do.
+    # White-noise fallback for degenerate fits, as the sample scripts do;
+    # non-stationary fits (|g| >= 1, possible for strong trends) are clipped
+    # just inside the stationary region — the null must be a proper AR(1).
     g = np.where(np.isfinite(g), g, 0.0)
+    g = np.clip(g, -0.99, 0.99)
 
     if sig:
         sig95 = wct_significance_batch(

@@ -1130,8 +1130,10 @@ def _mc_histogram_run_pairs(key, scales, outsidecoi, g1, g2, dt, *,
     unlike :func:`_mc_histogram_chunk` (whose static ``al1/al2`` force a
     fresh ~45 s XLA/Mosaic compile per distinct pair), a sweep over many
     nulls (e.g. the per-pair significance of :func:`wct_matrix`) compiles
-    once and reuses the executable for ANY coefficients of the same batch
-    shape.  Surrogate member ``(p, m)`` is keyed by (pair slot, global
+    once and reuses the executable for any coefficients of the same batch
+    shape and burn-in bucket (``tau`` is static but rounded up to a power
+    of two, so nearby gmax values share it).  Surrogate member ``(p, m)``
+    is keyed by (pair slot, global
     member index) (:func:`pycwt_tpu.stats.rednoise_members_pairs`), so the
     result is chunking-invariant; the shared burn-in ``tau`` is sized
     host-side for the largest |g| in the batch.
@@ -1205,7 +1207,34 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
             f"non-finite AR(1) coefficients at pair slots {bad.tolist()} — "
             "ar1_batch returns NaN for rows where ar1 would raise Warning; "
             "mask those pairs or substitute a white-noise null (alpha=0)")
+    if (np.abs(al1) >= 1).any() or (np.abs(al2) >= 1).any():
+        bad = np.nonzero((np.abs(al1) >= 1) | (np.abs(al2) >= 1))[0]
+        raise ValueError(
+            f"|alpha| >= 1 at pair slots {bad.tolist()} — the AR(1) null is "
+            "only defined for stationary coefficients (and the burn-in would "
+            "explode); clip strong-trend fits inside (-1, 1) or use alpha=0")
     P = len(al1)
+
+    if cache:
+        # Full-hit read path: if EVERY pair's curve is already on disk under
+        # the shared keys, return them without touching the device (same
+        # contract as the single-pair surface's cache).  Partial hits
+        # recompute the whole batch (one executable, one shape).
+        cache_dir = get_cache_dir()
+        cached = []
+        for p in range(P):
+            name = _sig_cache_name(al1[p], al2[p], dj, s0, dt, J, mother,
+                                   mc_count, seed, config)
+            try:
+                cached.append(np.loadtxt(f"{cache_dir}/{name}.gz",
+                                         unpack=True))
+            except OSError:
+                cached = None
+                break
+        if cached is not None:
+            if progress:
+                print("NOTE: WCT significance batch loaded from cache.\n")
+            return np.stack(cached)
 
     if progress:
         print(f"Calculating wavelet coherence significance "
@@ -1229,9 +1258,13 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     mc_batch = min(int(mc_batch), mc_count)
     nchunks = -(-mc_count // mc_batch)
     # Shared burn-in sized for the largest |g| (longer burn-in is only
-    # wasted samples, never a distribution change).
+    # wasted samples, never a distribution change), rounded UP to a power of
+    # two: tau is a static jit argument, so bucketing keeps the compiled
+    # executable reusable across batches whose exact gmax differs.
     gmax = float(np.max(np.abs(np.concatenate([al1, al2]))))
-    tau = 0 if gmax == 0 else int(np.ceil(-2 / np.log(min(gmax, 0.999999))))
+    tau = 0 if gmax == 0 else int(np.ceil(-2 / np.log(gmax)))
+    if tau > 0:
+        tau = 1 << max(3, (tau - 1).bit_length())
 
     dtype = config.real_dtype
     hist = _mc_histogram_run_pairs(

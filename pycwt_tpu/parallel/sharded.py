@@ -232,12 +232,18 @@ def sharded_wct_matrix(mesh: Mesh, y, pairs, scales, dt, dj, *,
     """
     from ..coherence import _wct_matrix_scan
 
-    pairs = jnp.asarray(pairs, jnp.int32)
+    pairs = np.asarray(pairs, np.int32)
+    B = np.asarray(y).shape[0]
+    if pairs.size and (pairs.min() < 0 or pairs.max() >= B):
+        # Validate HOST-side: inside jit an out-of-range jnp.take fills NaN
+        # silently instead of erroring (matches wct_matrix's check).
+        raise ValueError(f"pair indices out of range for B={B} signals")
     D = mesh.shape[axis_name]
     if pairs.shape[0] % (D * block):
         raise ValueError(
             f"pair count {pairs.shape[0]} must be divisible by "
             f"n_devices*block = {D * block} (pad by repeating pairs)")
+    pairs = jnp.asarray(pairs)
     scales_j = jnp.asarray(scales)
 
     def local_step(y_full, pi_loc, pj_loc):

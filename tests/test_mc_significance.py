@@ -290,3 +290,27 @@ def test_wct_significance_batch_clamps_oversized_mc_batch():
     a = wct_significance_batch([0.4], [0.5], mc_batch=1000, **kw)
     b = wct_significance_batch([0.4], [0.5], mc_batch=6, **kw)
     np.testing.assert_array_equal(a, b)  # clamped to mc_count, same draws
+
+
+def test_wct_significance_batch_rejects_nonstationary_alpha():
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    with pytest.raises(ValueError, match="alpha"):
+        wct_significance_batch([0.5, 1.0], [0.4, 0.3], dt=1.0, dj=1 / 4,
+                               s0=2.0, J=7, mc_count=8, progress=False,
+                               cache=False)
+
+
+def test_wct_significance_batch_cache_round_trip(tmp_path, monkeypatch,
+                                                 capsys):
+    """A rerun with cache=True returns the stored curves without recompute."""
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    monkeypatch.setenv("PYCWT_TPU_CACHE_DIR", str(tmp_path))
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=8, seed=7,
+              progress=True, cache=True, mc_batch=4)
+    a = wct_significance_batch([0.3, 0.6], [0.4, 0.2], **kw)
+    b = wct_significance_batch([0.3, 0.6], [0.4, 0.2], **kw)
+    out = capsys.readouterr().out
+    assert "loaded from cache" in out
+    np.testing.assert_allclose(b, a, atol=1e-12)
