@@ -1120,7 +1120,7 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
 @functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj",
                                              "batch", "nchunks", "n", "tau",
                                              "engine"))
-def _mc_histogram_run_pairs(key, scales, outsidecoi, g1, g2, dt, *,
+def _mc_histogram_run_pairs(key, scales, outsidecoi, slots, g1, g2, dt, *,
                             mother: Mother, nfft: int, dj: float, batch: int,
                             nchunks: int, n: int, tau: int,
                             engine: str | None = None):
@@ -1133,10 +1133,10 @@ def _mc_histogram_run_pairs(key, scales, outsidecoi, g1, g2, dt, *,
     once and reuses the executable for any coefficients of the same batch
     shape and burn-in bucket (``tau`` is static but rounded up to a power
     of two, so nearby gmax values share it).  Surrogate member ``(p, m)``
-    is keyed by (pair slot, global
-    member index) (:func:`pycwt_tpu.stats.rednoise_members_pairs`), so the
-    result is chunking-invariant; the shared burn-in ``tau`` is sized
-    host-side for the largest |g| in the batch.
+    is keyed by (``slots[p]`` — the pair's GLOBAL slot, so blocking the
+    pair list across executables never changes results — and the global
+    member index) (:func:`pycwt_tpu.stats.rednoise_members_pairs`); the
+    shared burn-in ``tau`` is sized host-side for the largest |g|.
 
     Returns ``(P, S, NBINS)`` float32 counts.
     """
@@ -1147,8 +1147,10 @@ def _mc_histogram_run_pairs(key, scales, outsidecoi, g1, g2, dt, *,
     def chunk(start):
         k1, k2 = jax.random.split(key)
         idx = start + jnp.arange(batch)
-        noise1 = rednoise_members_pairs(k1, idx, n, g1, tau, dtype=dtype)
-        noise2 = rednoise_members_pairs(k2, idx, n, g2, tau, dtype=dtype)
+        noise1 = rednoise_members_pairs(k1, slots, idx, n, g1, tau,
+                                        dtype=dtype)
+        noise2 = rednoise_members_pairs(k2, slots, idx, n, g2, tau,
+                                        dtype=dtype)
         R2, _, _ = _wct_core(noise1.reshape(P * batch, n),
                              noise2.reshape(P * batch, n),
                              scales, dt, mother=mother, nfft=nfft, dj=dj,
@@ -1178,7 +1180,8 @@ def _mc_histogram_run_pairs(key, scales, outsidecoi, g1, g2, dt, *,
 def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
                            wavelet="morlet", mc_count=300, progress=True,
                            cache=True, seed=0, mc_batch=None,
-                           config: CWTConfig = DEFAULT):
+                           config: CWTConfig = DEFAULT,
+                           pair_block: int | None = None):
     """:func:`wct_significance` for MANY ``(al1, al2)`` pairs in ONE
     compiled Monte-Carlo run — the per-pair null curves of an all-pairs
     analysis (:func:`wct_matrix`) without paying one XLA/Mosaic compile per
@@ -1251,10 +1254,17 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     maxscale = find(outsidecoi_any)[-1]
 
     nfft = config.fft_length(n)
+    # The pair list is processed in blocks of a FIXED size (default ≤64):
+    # the compiled executable is shaped by (pair_block, mc_batch, n, tau)
+    # only, so one compile serves ANY number of null hypotheses — and the
+    # histogram memory is bounded by one block.  Member streams are keyed by
+    # GLOBAL pair slot, so blocking never changes results.
+    Pblk = int(pair_block) if pair_block is not None else min(P, 64)
+    Pblk = max(1, min(Pblk, P))
     if mc_batch is None:
-        # Same bytes model as the single-pair path, shared across the P
+        # Same bytes model as the single-pair path, shared across the Pblk
         # pairs of each chunk.
-        mc_batch = max(1, _mc_auto_batch(mc_count, J + 1, nfft, n) // P)
+        mc_batch = max(1, _mc_auto_batch(mc_count, J + 1, nfft, n) // Pblk)
     mc_batch = min(int(mc_batch), mc_count)
     nchunks = -(-mc_count // mc_batch)
     # Shared burn-in sized for the largest |g| (longer burn-in is only
@@ -1267,11 +1277,25 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
         tau = 1 << max(3, (tau - 1).bit_length())
 
     dtype = config.real_dtype
-    hist = _mc_histogram_run_pairs(
-        jax.random.PRNGKey(seed), jnp.asarray(sj, dtype),
-        jnp.asarray(outsidecoi), jnp.asarray(al1, dtype),
-        jnp.asarray(al2, dtype), dt, mother=mother, nfft=nfft, dj=dj,
-        batch=mc_batch, nchunks=nchunks, n=n, tau=tau, engine=config.engine)
+    npad = (-P) % Pblk
+    a1p = np.concatenate([al1, np.repeat(al1[-1], npad)])
+    a2p = np.concatenate([al2, np.repeat(al2[-1], npad)])
+    slots_p = np.concatenate([np.arange(P), np.repeat(P - 1, npad)])
+    key = jax.random.PRNGKey(seed)
+    sj_j = jnp.asarray(sj, dtype)
+    oc_j = jnp.asarray(outsidecoi)
+    blocks = []
+    for b0 in range(0, P + npad, Pblk):
+        blocks.append(np.asarray(_mc_histogram_run_pairs(
+            key, sj_j, oc_j, jnp.asarray(slots_p[b0:b0 + Pblk]),
+            jnp.asarray(a1p[b0:b0 + Pblk], dtype),
+            jnp.asarray(a2p[b0:b0 + Pblk], dtype), dt, mother=mother,
+            nfft=nfft, dj=dj, batch=mc_batch, nchunks=nchunks, n=n, tau=tau,
+            engine=config.engine), np.float64))
+        if progress and len(blocks) > 1:
+            print(f"  pair blocks: {min(len(blocks) * Pblk, P)}/{P}",
+                  end="\r")
+    hist = np.concatenate(blocks, axis=0)[:P]
     # The ensemble is a whole number of equal chunks, which may round
     # mc_count UP (e.g. 300 at batch 37 → 333): the extra members are more
     # draws from the same null — the estimate only tightens, and a ragged
@@ -1280,7 +1304,8 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     done = nchunks * mc_batch
     wlc = np.asarray(hist, np.float64)
     if progress:
-        print(f"  MC surrogates per pair: {done}")
+        print(f"\n  MC surrogates per pair: {done}" if P > Pblk
+              else f"  MC surrogates per pair: {done}")
 
     sig = np.empty((P, J + 1))
     for p in range(P):

@@ -183,26 +183,27 @@ def rednoise_members(base_key, member_idx, shape_n: int, g, a: float = 1.0,
     return y[:, tau:]
 
 
-def rednoise_members_pairs(base_key, member_idx, shape_n: int,
+def rednoise_members_pairs(base_key, pair_slots, member_idx, shape_n: int,
                            g, tau: int, dtype=jnp.float32):
     """AR(1) surrogates for MANY alpha values at once: member ``(p, m)``'s
-    stream is ``fold_in(fold_in(base_key, p), member_idx[m])`` —
-    deterministic in (seed, pair slot, global member index) regardless of
-    chunking.  Unlike :func:`rednoise_members`, ``g`` is a TRACED ``(P,)``
-    array (no recompile per coefficient — the batched-significance surface);
-    the burn-in ``tau`` is therefore a static argument the caller sizes for
-    the LARGEST |g| in the batch (a longer-than-needed burn-in only discards
-    more samples, never changes distributions).
+    stream is ``fold_in(fold_in(base_key, pair_slots[p]), member_idx[m])`` —
+    deterministic in (seed, GLOBAL pair slot, global member index)
+    regardless of how the ensemble is chunked over members or the pair list
+    is blocked over executables.  Unlike :func:`rednoise_members`, ``g`` is
+    a TRACED ``(P,)`` array (no recompile per coefficient — the
+    batched-significance surface); the burn-in ``tau`` is therefore a static
+    argument the caller sizes for the LARGEST |g| in the batch (a
+    longer-than-needed burn-in only discards more samples, never changes
+    distributions).
 
     Returns ``(P, len(member_idx), shape_n)``.
     """
     g = jnp.asarray(g, dtype)
-    P = g.shape[0]
     keys = jax.vmap(
         lambda p: jax.vmap(
             lambda i: jax.random.fold_in(jax.random.fold_in(base_key, p), i)
         )(member_idx)
-    )(jnp.arange(P))                                   # (P, M) keys
+    )(jnp.asarray(pair_slots))                         # (P, M) keys
     z = jax.vmap(jax.vmap(
         lambda k: jax.random.normal(k, (shape_n + tau,), dtype=dtype)))(keys)
     y = _ar1_recurrence(z, g[:, None, None])

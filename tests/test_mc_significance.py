@@ -314,3 +314,17 @@ def test_wct_significance_batch_cache_round_trip(tmp_path, monkeypatch,
     out = capsys.readouterr().out
     assert "loaded from cache" in out
     np.testing.assert_allclose(b, a, atol=1e-12)
+
+
+def test_wct_significance_batch_pair_blocking_invariant():
+    """Blocking the pair list over fixed-shape executables is bit-invariant
+    (streams keyed by GLOBAL pair slot) — one compile serves any P."""
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=8, progress=False,
+              cache=False, seed=8, mc_batch=4)
+    al1 = [0.2, 0.4, 0.6, 0.7, 0.1]
+    al2 = [0.3, 0.5, 0.2, 0.6, 0.4]
+    a = wct_significance_batch(al1, al2, pair_block=5, **kw)
+    b = wct_significance_batch(al1, al2, pair_block=2, **kw)  # ragged tail
+    np.testing.assert_array_equal(a, b)
