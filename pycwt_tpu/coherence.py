@@ -1192,10 +1192,14 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     :func:`wct_significance` calls up to MC sampling noise (the batched
     surface keys member streams by (pair slot, global member index), so its
     draws differ from the single-pair surface's; agreement is
-    distributional, as between any two seeds).  Results are chunking- and
-    ``mc_batch``-invariant.  With ``cache=True`` each pair's curve is also
-    written to the reference-compatible disk cache, so later single-pair
-    :func:`wct_significance` calls with matching parameters hit it.
+    distributional, as between any two seeds).  Results are chunking-,
+    ``mc_batch``- and ``pair_block``-invariant: the pair list is streamed
+    through a FIXED-shape executable (``pair_block`` pairs per block,
+    default ≤64), so one compile serves any P and histogram memory is
+    bounded by a block.  With ``cache=True`` each pair's curve is also
+    written to the reference-compatible disk cache (and a rerun whose
+    curves are ALL cached returns from disk), so later single-pair
+    :func:`wct_significance` calls with matching parameters hit it too.
     """
     mother = as_mother(wavelet)
     al1 = np.atleast_1d(np.asarray(al1, np.float64))
