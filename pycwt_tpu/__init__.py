@@ -23,7 +23,7 @@ from .coherence import (wct, wct_matrix, wct_pairs, wct_significance,  # noqa: F
                         wct_significance_batch, xwt,
                         xwt_pairs, xwt_pairs_planar, xwt_planar)
 from .mothers import DOG, MexicanHat, Morlet, Paul  # noqa: F401
-from .stats import ar1, ar1_spectrum, rednoise  # noqa: F401
+from .stats import ar1, ar1_batch, ar1_spectrum, rednoise  # noqa: F401
 from .utils.helpers import boxpdf, find, get_cache_dir, rect  # noqa: F401
 
 __all__ = [
@@ -32,7 +32,7 @@ __all__ = [
     "wct", "wct_matrix", "wct_pairs", "wct_significance",
     "wct_significance_batch",
     "mothers", "Morlet", "Paul", "DOG", "MexicanHat",
-    "ar1", "ar1_spectrum", "rednoise", "find", "rect", "boxpdf",
+    "ar1", "ar1_batch", "ar1_spectrum", "rednoise", "find", "rect", "boxpdf",
     "get_cache_dir",
 ]
 __version__ = "0.1.0"
