@@ -25,7 +25,6 @@ enabled on CPU).
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 
