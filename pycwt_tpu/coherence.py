@@ -271,16 +271,19 @@ def wct(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, sig=True, significance_level=0.95,
     n0 = y1.size
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
     nfft = config.fft_length(n0)
+    # The reference's wct inherits cwt's NaN-row drop (wavelet.py:499-514
+    # calls cwt, which filters at :111-115): apply the same shared host-side
+    # drop so Paul-type mothers keep identical scale axes to the reference.
+    sj, freq = drop_reference_nan_rows(mother, grid.sj, grid.freqs, nfft, dt)
     rdt = config.real_dtype
     WCT, aWCT, _ = _wct_core(
         jnp.asarray(y1_n, dtype=rdt)[None], jnp.asarray(y2_n, dtype=rdt)[None],
-        jnp.asarray(grid.sj, dtype=rdt),
+        jnp.asarray(sj, dtype=rdt),
         dt, mother=mother, nfft=nfft, dj=dj, engine=config.engine,
     )
     WCT = np.asarray(WCT[0])
     aWCT = np.asarray(aWCT[0])
     coi = coi_bartlett(n0, dt, mother)
-    freq = grid.freqs
 
     if sig:
         a1, _, _ = ar1(y1)
@@ -615,25 +618,26 @@ def wct_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
     n0 = y1.shape[-1]
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
     nfft = config.fft_length(n0)
+    sj, freqs = drop_reference_nan_rows(mother, grid.sj, grid.freqs, nfft, dt)
     rdt = config.real_dtype
     B = y1.shape[0]
     blk = pair_block if pair_block is not None else _pairs_block(
-        B, len(grid.sj), nfft, np.dtype(rdt).itemsize)
+        B, len(sj), nfft, np.dtype(rdt).itemsize)
     if B <= blk:
         WCT, aWCT, _ = _wct_core(
             jnp.asarray(y1_n, dtype=rdt), jnp.asarray(y2_n, dtype=rdt),
-            jnp.asarray(grid.sj, dtype=rdt),
+            jnp.asarray(sj, dtype=rdt),
             dt, mother=mother, nfft=nfft, dj=dj, engine=config.engine,
         )
     else:
         WCT, aWCT = _wct_pairs_scan(
             jnp.asarray(y1_n, dtype=rdt), jnp.asarray(y2_n, dtype=rdt),
-            jnp.asarray(grid.sj, dtype=rdt),
+            jnp.asarray(sj, dtype=rdt),
             dt, mother=mother, nfft=nfft, dj=dj, engine=config.engine,
             block=int(blk),
         )
     coi = coi_bartlett(n0, dt, mother)
-    return np.asarray(WCT), np.asarray(aWCT), coi, grid.freqs
+    return np.asarray(WCT), np.asarray(aWCT), coi, freqs
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj",
@@ -770,22 +774,24 @@ def wct_matrix(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
 
     grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
     nfft = config.fft_length(n0)
+    # Same reference NaN-row drop as wct/wct_pairs (shared helper).
+    sj, freqs = drop_reference_nan_rows(mother, grid.sj, grid.freqs, nfft, dt)
     rdt = config.real_dtype
     # Per-pair live planes are much smaller than wct_pairs' (only the cross
     # smoothing chain); the persistent (B, S, n0) W/Sself fields are bounded
     # by B, not P.
     blk = pair_block if pair_block is not None else _pairs_block(
-        P, len(grid.sj), nfft, np.dtype(rdt).itemsize, planes=48)
+        P, len(sj), nfft, np.dtype(rdt).itemsize, planes=48)
     blk = int(min(P, blk))
     npad = (-P) % blk
     pi = np.concatenate([pairs[:, 0], np.repeat(pairs[-1, 0], npad)])
     pj = np.concatenate([pairs[:, 1], np.repeat(pairs[-1, 1], npad)])
     WCT, aWCT = _wct_matrix_scan(
         jnp.asarray(y_n, rdt), jnp.asarray(pi), jnp.asarray(pj),
-        jnp.asarray(grid.sj, rdt), dt, mother=mother, nfft=nfft, dj=dj,
+        jnp.asarray(sj, rdt), dt, mother=mother, nfft=nfft, dj=dj,
         engine=config.engine, block=blk, precision=config.precision)
     coi = coi_bartlett(n0, dt, mother)
-    return (np.asarray(WCT)[:P], np.asarray(aWCT)[:P], coi, grid.freqs,
+    return (np.asarray(WCT)[:P], np.asarray(aWCT)[:P], coi, freqs,
             pairs)
 
 

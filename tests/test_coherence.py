@@ -327,3 +327,25 @@ def test_wct_matrix_explicit_pairs_and_validation():
         wt.wct_matrix(y, 1.0, pairs=[[0, 7]])
     with pytest.raises(ValueError, match="no pairs"):
         wt.wct_matrix(y, 1.0, pairs=np.zeros((0, 2), int))
+
+
+def test_wct_nan_row_drop_matches_reference_semantics():
+    """wct/wct_pairs/wct_matrix inherit cwt's NaN-row drop (reference
+    wavelet.py:499-514 builds its WCT on cwt's FILTERED scale axis) — for
+    drop-triggering mothers (Paul at large scales) the scale count must
+    match api.cwt's."""
+    rng = np.random.default_rng(61)
+    N = 300
+    y1 = rng.standard_normal(N)
+    y2 = rng.standard_normal(N)
+    kw = dict(dj=1 / 8, wavelet="paul", s0=0.5, J=40)
+    W_cwt, sj_cwt, freq_cwt, *_ = wt.cwt(y1, 0.25, **kw)
+    WCT, aW, coi, freq, _ = wt.wct(y1, y2, 0.25, sig=False, **kw)
+    assert WCT.shape[0] == len(sj_cwt)
+    np.testing.assert_allclose(freq, freq_cwt)
+    Wp, ap, _, freq_p = wt.wct_pairs(y1[None], y2[None], 0.25, **kw)
+    assert Wp.shape[1] == len(sj_cwt)
+    np.testing.assert_allclose(Wp[0], WCT, rtol=0, atol=1e-10)
+    Wm, am, _, freq_m, pairs = wt.wct_matrix(np.stack([y1, y2]), 0.25, **kw)
+    assert Wm.shape[1] == len(sj_cwt)
+    np.testing.assert_allclose(freq_m, freq_cwt)
