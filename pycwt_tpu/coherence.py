@@ -932,8 +932,12 @@ def _mc_auto_batch(mc_count: int, S: int, nfft: int, n: int,
     workload (S=76, nfft=1024, n=885) at ~250-300 members/chunk, the
     measured optimum, while staying well under a v5e's 16 GB."""
     per_member = 16 * S * nfft * 4 + 160 * S * n
-    cap = max(25, min(mc_count, int(budget_bytes // max(per_member, 1)),
-                      1024))
+    fit = max(1, int(budget_bytes // max(per_member, 1)))
+    # Prefer chunks of >=25 members for dispatch amortization, but NEVER
+    # above what the bytes model says fits: a hard floor of 25 overrode the
+    # model on long-surrogate workloads (n ~ 1e4 -> ~300 MB/member) and
+    # OOMed (round-4 regression test below).
+    cap = min(mc_count, fit, 1024)
     if cap < mc_count:
         # Balance the chunks so the run is N equal fori_loop chunks with no
         # ragged tail — a tail chunk is a SECOND executable (different static
@@ -1264,17 +1268,21 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     maxscale = find(outsidecoi_any)[-1]
 
     nfft = config.fft_length(n)
-    # The pair list is processed in blocks of a FIXED size (default ≤64):
-    # the compiled executable is shaped by (pair_block, mc_batch, n, tau)
-    # only, so one compile serves ANY number of null hypotheses — and the
-    # histogram memory is bounded by one block.  Member streams are keyed by
-    # GLOBAL pair slot, so blocking never changes results.
-    Pblk = int(pair_block) if pair_block is not None else min(P, 64)
-    Pblk = max(1, min(Pblk, P))
+    # The pair list is processed in blocks of a FIXED size: the compiled
+    # executable is shaped by (pair_block, mc_batch, n, tau) only, so one
+    # compile serves ANY number of null hypotheses — and the histogram
+    # memory is bounded by one block.  Member streams are keyed by GLOBAL
+    # pair slot, so blocking never changes results.  The block size itself
+    # follows the bytes model: a chunk holds Pblk·mc_batch members, so for
+    # long-surrogate workloads (large n/nfft) the block shrinks below the
+    # default 64 instead of overflowing HBM.
+    members_fit = _mc_auto_batch(mc_count * 64, J + 1, nfft, n)
+    if pair_block is not None:
+        Pblk = max(1, min(int(pair_block), P))
+    else:
+        Pblk = max(1, min(P, 64, members_fit))
     if mc_batch is None:
-        # Same bytes model as the single-pair path, shared across the Pblk
-        # pairs of each chunk.
-        mc_batch = max(1, _mc_auto_batch(mc_count, J + 1, nfft, n) // Pblk)
+        mc_batch = max(1, members_fit // Pblk)
     mc_batch = min(int(mc_batch), mc_count)
     nchunks = -(-mc_count // mc_batch)
     # Shared burn-in sized for the largest |g| (longer burn-in is only

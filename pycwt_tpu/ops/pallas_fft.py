@@ -60,14 +60,24 @@ def _split_radix(R: int) -> tuple[int, int]:
     return r1, R // r1
 
 
-_SMALL_MAX = 1 << 12  # nfft ≤ 4096 → single-kernel fused path (fits VMEM)
+#: nfft ≤ this → the planar-XLA "small" formulation (measured faster than
+#: the kernels below 2^12, and STRUCTURALLY required at 2^13: that size's
+#: balanced factorization gives R1 = 64, so both kernels' column blocks are
+#: 64 lanes wide and their inter-substage reshapes are Mosaic-unsupported
+#: shape casts ("infer-vector-layout", found by the round-4 32-station MC
+#: workload whose surrogate nfft landed on 8192).  From 2^14 up both factors
+#: are ≥ 128 and the two-kernel pipeline applies.
+_SMALL_MAX = 1 << 13
+#: the opt-in direct-DFT Pallas kernel holds a dense (K, nfft) DFT matrix in
+#: constants — only sensible up to 2^12 (2^13 would be a 256 MB table).
+_SMALL_KERNEL_MAX = 1 << 12
 
 
 def supported_nfft(nfft: int) -> bool:
-    """Pow-2 lengths ≥ 2^8.  Sizes > 2^12 run the two-kernel four-step
-    pipeline; sizes ≤ 2^12 run the single direct-DFT matmul kernel
-    (:func:`_make_kernel_direct`), whose tiles are all (8,128)-granular so
-    real Mosaic compiles it (unlike round 2's reshape-heavy small kernel)."""
+    """Pow-2 lengths ≥ 2^8.  Sizes > 2^13 run the two-kernel four-step
+    pipeline; sizes ≤ 2^13 run the planar-XLA formulation (≤ 2^12 optionally
+    the single direct-DFT matmul kernel, :func:`_make_kernel_direct`, whose
+    tiles are all (8,128)-granular so real Mosaic compiles it)."""
     return nfft >= (1 << 8) and (1 << (nfft.bit_length() - 1)) == nfft
 
 
@@ -589,7 +599,7 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
         # whole transform is a handful of MXU tiles.  ``small_kernel=True``
         # (or PYCWT_TPU_SMALL_KERNEL=1) opts into the Pallas kernel (e.g. to
         # re-measure on new hardware).
-        if small_kernel:
+        if small_kernel and nfft <= _SMALL_KERNEL_MAX:
             # Pallas kernels have no automatic transpose — make the opt-in
             # small kernel differentiable via the XLA-formulation VJP.
             small_raw = _with_xla_vjp(
@@ -615,7 +625,21 @@ def _fused_cwt_planar_jit(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
     # (zero programs, garbage output) — clamp instead.
     Ablk = min(Ablk, R1)
     Cblk = min(Cblk, R2)
-    consts2 = _dft_tables(R2)  # for col-DFT over b (size R2)
+    # Kernel A's analytic half-spectrum path contracts only rows_present =
+    # R2/2 rows in substage 1: its reshape is (rows, A) -> (rows/r2, r2*A),
+    # and Mosaic rejects shape casts whose leading (sublane) dim drops below
+    # 8 ("unsupported shape cast", seen at nfft=2^13/2^14 where the balanced
+    # split leaves rows/r2 = 4).  Pick a shallower r2 for the R2 tables so
+    # rows/r2 >= 8 — the radix sweep measured all splits perf-equivalent.
+    analytic_rows = bool(getattr(mother, "analytic_negligible_negative",
+                                 lambda: False)())
+    r1_2, r2_2 = _split_radix(R2)
+    if analytic_rows:
+        rows_a = R2 // 2
+        while r2_2 > 1 and rows_a // r2_2 < 8:
+            r2_2 //= 2
+            r1_2 *= 2
+    consts2 = _dft_tables(R2, split=(r1_2, r2_2))  # col-DFT over b (size R2)
     consts1 = _dft_tables(R1)  # for col-DFT over a (size R1)
 
     a_idx = np.arange(R2, dtype=np.float64)

@@ -61,7 +61,7 @@ def test_grad_through_fused_planar_pipeline():
     from pycwt_tpu.ops.pallas_fft import _small_planar_xla, fused_cwt_planar
 
     rng = np.random.default_rng(3)
-    nfft = 1 << 13  # two-kernel big path
+    nfft = 1 << 14  # two-kernel big path
     x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
     scales0 = jnp.asarray([4.0, 16.0, 64.0], jnp.float32)
     mother = wt.Morlet(6)

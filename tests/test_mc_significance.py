@@ -212,7 +212,10 @@ def test_mc_auto_batch_model():
     b = _mc_auto_batch(10_000, 76, 1024, 885)   # AO/Baltic dims
     assert 200 <= b <= 400, b
     assert _mc_auto_batch(100, 76, 1024, 885) == 100
-    assert _mc_auto_batch(10_000, 400, 65536, 60000) == 25  # huge: floor
+    # Huge workloads: the bytes model governs (a hard floor used to
+    # override it and OOM long-surrogate runs — round-4 regression).
+    assert _mc_auto_batch(10_000, 400, 65536, 60000) == 1
+    assert _mc_auto_batch(300, 119, 16384, 10543) == 15
     assert _mc_auto_batch(10**6, 8, 256, 200) == 1024       # tiny: ceiling
 
 

@@ -218,7 +218,7 @@ def test_dot_bf16x2_error_bound():
     assert err2 < err1 / 50, (err2, err1)
 
 
-@pytest.mark.parametrize("nfft", [1 << 12, 1 << 13],
+@pytest.mark.parametrize("nfft", [1 << 12, 1 << 14],
                          ids=["small_path", "two_kernel_path"])
 def test_fused_cwt_power_map_output(nfft):
     """output='power' writes |W|² inside kernel B's epilogue — equal to the
@@ -240,7 +240,7 @@ def test_fused_cwt_power_map_output(nfft):
 
 def test_fused_cwt_power_sum_two_kernel_path():
     """power_sum epilogue on the two-kernel path (the bench headline mode)."""
-    nfft = 1 << 13
+    nfft = 1 << 14
     rng = np.random.default_rng(8)
     x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
     from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
@@ -274,3 +274,29 @@ def test_fused_cwt_fast_tier_bf16_t_error_bound():
     err = max(float(jnp.abs(wr_f - wr_hi).max()),
               float(jnp.abs(wi_f - wi_hi).max())) / scale
     assert err < 2e-2, err
+
+
+@pytest.mark.parametrize("nfft", [1 << 13, 1 << 14], ids=["small-routed",
+                                                           "two-kernel"])
+@pytest.mark.parametrize("n_in_frac", [1, 2], ids=["full", "half"])
+def test_fused_cwt_mid_sizes(n_in_frac, nfft):
+    """Mid sizes (round-4 regression, found by the 32-station MC workload
+    whose surrogate nfft landed on 8192): 2^13 structurally cannot run the
+    two-kernel pipeline on Mosaic (R1=64 -> 64-lane tiles, unsupported
+    shape casts) and routes through the planar-XLA path; 2^14's analytic
+    half path needs the shallower R2 split so substage 1 keeps >= 8
+    sublanes.  Correctness vs the XLA reference for both."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+
+    half = n_in_frac == 2
+    sr, si = fft_of_real_planar(x, nfft, half=half)
+    scales = jnp.asarray([8.0, 64.0, 512.0], jnp.float32)
+    kw = dict(mother=wt.Morlet(6), nfft=nfft, dt=1.0, Ablk=64, Cblk=128,
+              interpret=True)
+    wr, wi = fused_cwt_planar(sr, si, scales, **kw)
+    X = jnp.fft.fft(x, nfft).astype(jnp.complex64)
+    W_ref = _ref(X, scales, wt.Morlet(6), nfft, 1.0)
+    scale = np.abs(W_ref).max()
+    assert np.abs((np.asarray(wr) + 1j * np.asarray(wi)) - W_ref).max() / scale < 1e-5

@@ -51,6 +51,13 @@ def variants():
             yield f"small{nfft}-{tag}-dog-full", nfft, nfft, dog, "planes", "highest", sk
         yield f"small512-{tag}-morlet-high", 512, 512, morlet, "planes", "high", sk
         yield f"small512-{tag}-morlet-fast", 512, 512, morlet, "planes", "fast", sk
+    # Mid sizes 2^13/2^14: the smallest two-kernel sizes — their analytic
+    # half-spectrum path once produced a Mosaic-rejected sublane-collapsing
+    # reshape (round-4 regression; fixed by a shallower R2 split).
+    for mid in (1 << 13, 1 << 14):
+        yield f"mid{mid}-morlet-full", mid, mid, morlet, "planes", "highest", False
+        yield f"mid{mid}-morlet-half", mid, mid // 2, morlet, "planes", "highest", False
+        yield f"mid{mid}-dog-full", mid, mid, dog, "planes", "highest", False
     big = 1 << 20  # two-kernel four-step pipeline
     yield "big-morlet-full", big, big, morlet, "planes", "highest", False
     yield "big-morlet-half", big, big // 2, morlet, "planes", "highest", False
