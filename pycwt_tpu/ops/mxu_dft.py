@@ -18,9 +18,10 @@ time — versus O(N·log N) HBM-bound radix passes for a streamed FFT.  Complex
 arithmetic is planar (separate re/im f32) with HIGHEST matmul precision
 (bf16x3, ~f32-exact) by default.
 
-Accuracy: validated against ``np.fft.fft``/``ifft`` in ``tests/test_mxu_dft.py``
-(≤~1e-5 relative in f32 for N up to 2^20; exact-to-f64-roundoff when x64 is
-enabled on CPU).
+Accuracy: validated against ``np.fft.fft``/``ifft`` in ``tests/test_engines.py``
+(engine parity vs the f64 goldens) and ``tests/test_pallas.py`` (planar DFT
+round-trips; ≤~1e-5 relative in f32 for N up to 2^20; exact-to-f64-roundoff
+when x64 is enabled on CPU).
 """
 from __future__ import annotations
 

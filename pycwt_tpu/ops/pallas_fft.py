@@ -516,6 +516,13 @@ def fused_cwt_planar(sig_r, sig_i, scales, *, mother: Mother, nfft: int,
         small_kernel = os.environ.get("PYCWT_TPU_SMALL_KERNEL") == "1"
     if output is None:
         output = "power_sum" if power_only else "planes"
+    elif power_only and output != "power_sum":
+        # An explicit output= must not be silently shadowed by the legacy
+        # flag (or vice versa) — the caller asked for two different epilogues.
+        raise ValueError(
+            f"conflicting epilogue selection: power_only=True means "
+            f"output='power_sum' but output={output!r} was passed — drop "
+            f"power_only (deprecated) and pass output= alone")
     if output not in ("planes", "power", "power_sum"):
         raise ValueError(f"output must be planes|power|power_sum, got {output!r}")
     return _fused_cwt_planar_jit(

