@@ -42,3 +42,24 @@ def test_planar_parity_bounds_on_chip():
     assert row["cwt_power_nino3"] <= 2.2e-3, row
     assert row["xwt_jao_jbaltic"] <= 1.9e-3, row
     assert row["wct_jao_jbaltic"] <= 2.0e-4, row
+
+
+@requires_chip
+@pytest.mark.tpu
+def test_twofloat_parity_on_chip():
+    """The compensated two-float parity mode meets SURVEY §7's f64-on-TPU
+    requirement ON THE CHIP: ≤1e-6 max relative error vs the f64 reference
+    goldens (VERDICT r4 next #2; measured ~1.6e-11 / 1.6e-12 / 5.7e-13 on
+    the v5e — the bound leaves five orders of headroom for compiler/libm
+    drift while still being 1000x tighter than the f32 path's ~1e-3)."""
+    env = {k: v for k, v in os.environ.items() if k != "PYCWT_TPU_PLATFORM"}
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "tpu_parity_report.py"),
+         "--engine=twofloat"],
+        capture_output=True, text=True, timeout=580, env=env, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-500:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "error" not in row, row
+    assert row["cwt_power_nino3"] <= 1e-6, row
+    assert row["xwt_jao_jbaltic"] <= 1e-6, row
+    assert row["wct_jao_jbaltic"] <= 1e-6, row

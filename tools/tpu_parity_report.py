@@ -42,7 +42,7 @@ if os.environ.get("PYCWT_TPU_PLATFORM"):
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLD = os.path.join(ROOT, "tests", "golden")
 
-ENGINES = ("xla", "mxu", "pallas", "planar")
+ENGINES = ("xla", "mxu", "pallas", "planar", "twofloat")
 
 
 def rel_err(a, b):
@@ -221,11 +221,30 @@ def _engine_row_planar(mother, g_cwt, g_xwt, g_wct):
     return {k: float(v) for k, v in row.items()}
 
 
+def _engine_row_twofloat(g_cwt, g_xwt, g_wct):
+    """Parity rows for the opt-in compensated two-float (double-f32) chip
+    mode (``ops/twofloat.py``) — the SURVEY §7 'f64 on TPU' answer: expected
+    ≤1e-6 (measured ~1e-11 on chip), vs ~1e-3 for the f32 throughput path."""
+    from pycwt_tpu.ops.twofloat import (cwt_twofloat, wct_twofloat,
+                                        xwt_twofloat)
+
+    row = {}
+    W, *_ = cwt_twofloat(g_cwt["signal"], float(g_cwt["dt"]))
+    row["cwt_power_nino3"] = rel_err(np.abs(W) ** 2, np.abs(g_cwt["W"]) ** 2)
+    W12, *_ = xwt_twofloat(g_xwt["y1"], g_xwt["y2"], float(g_xwt["dt"]))
+    row["xwt_jao_jbaltic"] = rel_err(np.abs(W12), np.abs(g_xwt["W12"]))
+    WCT, *_ = wct_twofloat(g_wct["y1"], g_wct["y2"], float(g_wct["dt"]))
+    row["wct_jao_jbaltic"] = rel_err(WCT, g_wct["WCT"])
+    return row
+
+
 def _engine_row(engine, mother, g_cwt, g_xwt, g_wct):
     from pycwt_tpu.coherence import _wct_core
     from pycwt_tpu.config import CWTConfig
     from pycwt_tpu.transform import build_scale_grid, cwt_batch
 
+    if engine == "twofloat":
+        return _engine_row_twofloat(g_cwt, g_xwt, g_wct)
     if engine == "planar":
         return _engine_row_planar(mother, g_cwt, g_xwt, g_wct)
 
