@@ -266,7 +266,7 @@ def wct_analysis(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
 def wct_matrix_analysis(y, dt, dj=1 / 12, s0=-1, J=-1, mother="morlet",
                         significance_level=0.8646, sig: bool = True,
                         pairs=None, mc_count=300, seed=0, cache=True,
-                        normalize=True):
+                        normalize=True, alpha_quant=0.01):
     """All-pairs coherence analysis of ``B`` signals with per-pair
     Monte-Carlo nulls — the production serving workflow of
     :func:`pycwt_tpu.coherence.wct_matrix` +
@@ -306,10 +306,15 @@ def wct_matrix_analysis(y, dt, dj=1 / 12, s0=-1, J=-1, mother="morlet",
     g = np.clip(g, -0.99, 0.99)
 
     if sig:
+        # Nulls are deduplicated to distinct canonical (sorted,
+        # alpha_quant-rounded) coefficient pairs and cached incrementally —
+        # a B-station network whose fitted alphas share k rounded values
+        # runs k(k+1)/2 ensembles, not B(B-1)/2 (wct_significance_batch).
         sig95 = wct_significance_batch(
             g[pairs_out[:, 0]], g[pairs_out[:, 1]], dt=dt, dj=dj, s0=s0,
             J=J, significance_level=significance_level, wavelet=m,
-            mc_count=mc_count, seed=seed, cache=cache, progress=False)
+            mc_count=mc_count, seed=seed, cache=cache, progress=False,
+            alpha_quant=alpha_quant)
     else:
         sig95 = np.asarray([0])
     return dict(WCT=WCT, phase=aWCT, pairs=pairs_out, sig95=sig95,

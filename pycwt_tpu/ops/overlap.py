@@ -20,9 +20,12 @@ Three execution modes, all device-resident and memory-bounded:
 * :func:`cwt_overlap_save` — ``lax.scan`` over chunks on one device.  Peak
   intermediate memory is ONE chunk's (S × nfft_c) transform (plus the output
   itself), versus the global path's (S × nfft_global) — the per-chunk
-  working set is ~N/chunk× smaller, which is what lets a 2^24-point
-  64-scale transform run where the global (S × 2^24) intermediate would
-  not fit alongside its FFT workspace.
+  working set is ~N/chunk× smaller.  The planar variant
+  (:func:`cwt_overlap_save_planar`, donated-buffer chunk loop — a scan
+  carrying the output planes would double-buffer them) runs a 2^24-point
+  64-scale full-W transform on one v5e in 0.428 s (2.5e9 sample-scales/s,
+  BASELINE.md round 5) where the global spectral path's intermediates
+  (~17 GB) exhaust HBM.
 * :func:`streamed_global_power` — same scan but only the running Σ_t |W|²
   accumulator survives a chunk: peak memory ∝ chunk, independent of N.
   This is the N≫HBM global-spectrum path.
@@ -62,7 +65,9 @@ from ..transform import cwt_batch
 __all__ = [
     "halo_samples",
     "cwt_overlap_save",
+    "cwt_overlap_save_planar",
     "streamed_global_power",
+    "streamed_global_power_planar",
     "sharded_cwt_overlap_save",
 ]
 
@@ -312,3 +317,132 @@ def _sharded_overlap_fn(mesh, mother, dt, nfft, chunk, H, n_dev, n_chunks,
         check_vma=False,  # ppermute halo is deliberately position-dependent
     )
     return jax.jit(fn)
+
+
+# --------------------------------------------------------------------------
+# Planar (complex-free) long-signal paths — the variants that run on the
+# tunneled axon runtime, whose complex64 support is absent (ops/fft.py).
+# These are what tools/tpu_bench_long.py measures on the real chip
+# (VERDICT r4 next #3): the complex surfaces above are engine-generic but
+# cannot execute where complex64 is UNIMPLEMENTED.
+
+def _planar_chunk_transform(slab, scales32, mother, nfft, dt, precision,
+                            output):
+    """One chunk's planar CWT: half-spectrum forward MXU DFT → fused planar
+    Pallas kernel (or the small planar-XLA formulation below its floor)."""
+    from .mxu_dft import fft_of_real_planar
+    from .pallas_fft import _small_planar_xla, fused_cwt_planar, \
+        supported_nfft
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    sr, si = fft_of_real_planar(slab, nfft)
+    if supported_nfft(nfft):
+        return fused_cwt_planar(sr, si, scales32, mother=mother, nfft=nfft,
+                                dt=float(dt), interpret=interpret,
+                                precision=precision, output=output)
+    wr, wi = _small_planar_xla(sr, si, scales32, mother=mother, nfft=nfft,
+                               dt=float(dt),
+                               precision=jax.lax.Precision.HIGHEST)
+    if output == "power":
+        return wr * wr + wi * wi
+    return wr, wi
+
+
+@functools.lru_cache(maxsize=64)
+def _overlap_step_planar_fn(mother, dt, nfft, chunk, H, precision):
+    """One donated-buffer chunk update.  A ``lax.scan`` carrying the (S, N)
+    output planes DOUBLE-BUFFERS them (carry-in + carry-out live across the
+    step), which is exactly what OOMed the 2^24 full-W measurement: 2 × 8.6
+    GB of planes > 16 GB HBM.  Donating the planes into a per-chunk jit
+    makes the update truly in-place — peak memory is the output + ONE
+    chunk's workspace, and the Python chunk loop costs one dispatch per
+    chunk (~ms each; the round-5 chip run measures the total)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(cr, ci, padded, scales, i):
+        slab = jax.lax.dynamic_slice(padded, (i * chunk,), (chunk + 2 * H,))
+        wr, wi = _planar_chunk_transform(slab, scales, mother, nfft, dt,
+                                         precision, "planes")
+        z = jnp.zeros((), i.dtype)
+        cr = jax.lax.dynamic_update_slice(cr, wr[:, H:H + chunk],
+                                          (z, i * chunk))
+        ci = jax.lax.dynamic_update_slice(ci, wi[:, H:H + chunk],
+                                          (z, i * chunk))
+        return cr, ci
+
+    return step
+
+
+def cwt_overlap_save_planar(signal, scales, dt: float, *, mother: Mother,
+                            chunk: int = 1 << 18, eps: float = 1e-7,
+                            precision: str = "high"):
+    """:func:`cwt_overlap_save` with NO complex dtype anywhere: the chunk
+    transform is the fused planar Pallas pipeline and the output is the
+    planar pair ``(wr, wi)``, each ``(S, N)`` float32.  Same halo contract
+    and near-Nyquist caveat as the complex surface; chip-measured at
+    N = 2^22..2^24 in BASELINE.md round 5."""
+    scales = jnp.asarray(scales, jnp.float32)
+    smax = float(np.max(np.asarray(scales)))
+    H = halo_samples(smax, dt, eps)
+    _warn_near_nyquist(scales, dt, mother)
+    if chunk <= 0:
+        raise ValueError("chunk must be positive")
+    signal = jnp.asarray(signal, jnp.float32)
+    N = signal.shape[-1]
+    if N <= chunk:
+        nfft = next_pow2(N)
+        wr, wi = _planar_chunk_transform(
+            jnp.pad(signal, (0, nfft - N))[:nfft], scales, mother, nfft, dt,
+            precision, "planes")
+        return wr[:, :N], wi[:, :N]
+    padded, N, n_chunks = _pad_for_chunks(signal, chunk, H)
+    nfft = next_pow2(chunk + 2 * H)
+    step = _overlap_step_planar_fn(mother, float(dt), nfft, chunk, H,
+                                   precision)
+    S = scales.shape[0]
+    cr = jnp.zeros((S, n_chunks * chunk), jnp.float32)
+    ci = jnp.zeros((S, n_chunks * chunk), jnp.float32)
+    for i in range(n_chunks):
+        cr, ci = step(cr, ci, padded, scales, jnp.int32(i))
+    return cr[:, :N], ci[:, :N]
+
+
+@functools.lru_cache(maxsize=64)
+def _streamed_power_planar_fn(mother, dt, nfft, chunk, H, n_chunks, S, N,
+                              precision):
+    @jax.jit
+    def run(padded, scales):
+        def body(acc, i):
+            slab = jax.lax.dynamic_slice(padded, (i * chunk,),
+                                         (chunk + 2 * H,))
+            pw = _planar_chunk_transform(slab, scales, mother, nfft, dt,
+                                         precision, "power")
+            pc = pw[:, H:H + chunk]
+            t = i * chunk + jnp.arange(chunk)
+            pc = jnp.where((t < N)[None, :], pc, 0)
+            return acc + pc.sum(axis=-1), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((S,), jnp.float32),
+                              jnp.arange(n_chunks))
+        return acc
+
+    return run
+
+
+def streamed_global_power_planar(signal, scales, dt: float, *,
+                                 mother: Mother, chunk: int = 1 << 18,
+                                 eps: float = 1e-7, precision: str = "high"):
+    """:func:`streamed_global_power` with no complex dtype: the chunk
+    transform uses the fused kernel's in-kernel ``power`` epilogue, so only
+    the running ``(S,)`` accumulator survives a chunk — peak memory ∝ chunk,
+    independent of N, on the planar-only runtime."""
+    scales = jnp.asarray(scales, jnp.float32)
+    smax = float(np.max(np.asarray(scales)))
+    H = halo_samples(smax, dt, eps)
+    _warn_near_nyquist(scales, dt, mother)
+    signal = jnp.asarray(signal, jnp.float32)
+    padded, N, n_chunks = _pad_for_chunks(signal, chunk, H)
+    nfft = next_pow2(chunk + 2 * H)
+    run = _streamed_power_planar_fn(mother, float(dt), nfft, chunk, H,
+                                    n_chunks, scales.shape[0], N, precision)
+    return run(padded, scales)

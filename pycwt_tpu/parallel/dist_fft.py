@@ -87,7 +87,8 @@ def _sharded_dft_fn(mesh: Mesh, N: int, sign: int, f64: bool,
         X = jax.lax.all_to_all(X, axis_name, split_axis=b + 1, concat_axis=b,
                                tiled=True)                    # (..., R1, R2l)
         # MXU DFT over n1.
-        Y = jnp.einsum("kn,...nj->...kj", jnp.asarray(F1), X)
+        Y = jnp.einsum("kn,...nj->...kj", jnp.asarray(F1), X,
+                       precision=jax.lax.Precision.HIGHEST)
         # Twiddle e^{s·2πi·n2·k1/N} with GLOBAL n2 of my pencil.
         d = jax.lax.axis_index(axis_name)
         n2g = (d * R2l + jnp.arange(R2l)).astype(rdt)
@@ -98,7 +99,8 @@ def _sharded_dft_fn(mesh: Mesh, N: int, sign: int, f64: bool,
         U = jax.lax.all_to_all(Y, axis_name, split_axis=b, concat_axis=b + 1,
                                tiled=True)                    # (..., R1l, R2)
         # MXU DFT over n2.
-        Z = jnp.einsum("...kn,nj->...kj", U, jnp.asarray(F2))
+        Z = jnp.einsum("...kn,nj->...kj", U, jnp.asarray(F2),
+                       precision=jax.lax.Precision.HIGHEST)
         # k1-pencil → natural-order slab: all k1, my R2/D values of k2.
         V = jax.lax.all_to_all(Z, axis_name, split_axis=b + 1, concat_axis=b,
                                tiled=True)                    # (..., R1, R2l)
@@ -179,15 +181,20 @@ def _sharded_dft_planar_fn(mesh: Mesh, N: int, sign: int, f64: bool,
         Xr = a2a(xr_loc.reshape(B + (A, R2)).astype(rdt), b + 1, b)
         M1r = jnp.asarray(F1r)
         M1i = jnp.asarray(F1i)
+        # HIGHEST matmul tier: DEFAULT lowers to single-pass bf16 on TPU,
+        # which silently cost the whole pencil pipeline ~5e-3 accuracy
+        # (caught by the round-5 blocked-vs-global chip comparison).
+        em = functools.partial(jnp.einsum,
+                               precision=jax.lax.Precision.HIGHEST)
         if has_imag:
             Xi = a2a(xi_loc.reshape(B + (A, R2)).astype(rdt), b + 1, b)
-            Yr = (jnp.einsum("kn,...nj->...kj", M1r, Xr)
-                  - jnp.einsum("kn,...nj->...kj", M1i, Xi))
-            Yi = (jnp.einsum("kn,...nj->...kj", M1r, Xi)
-                  + jnp.einsum("kn,...nj->...kj", M1i, Xr))
+            Yr = (em("kn,...nj->...kj", M1r, Xr)
+                  - em("kn,...nj->...kj", M1i, Xi))
+            Yi = (em("kn,...nj->...kj", M1r, Xi)
+                  + em("kn,...nj->...kj", M1i, Xr))
         else:
-            Yr = jnp.einsum("kn,...nj->...kj", M1r, Xr)
-            Yi = jnp.einsum("kn,...nj->...kj", M1i, Xr)
+            Yr = em("kn,...nj->...kj", M1r, Xr)
+            Yi = em("kn,...nj->...kj", M1i, Xr)
         # Twiddle e^{s·2πi·n2·k1/N} with GLOBAL n2 of my pencil — planar.
         d = jax.lax.axis_index(axis_name)
         n2g = (d * R2l + jnp.arange(R2l)).astype(rdt)
@@ -200,10 +207,10 @@ def _sharded_dft_planar_fn(mesh: Mesh, N: int, sign: int, f64: bool,
         Ui = a2a(Ti, b, b + 1)
         M2r = jnp.asarray(F2r)
         M2i = jnp.asarray(F2i)
-        Zr = (jnp.einsum("...kn,nj->...kj", Ur, M2r)
-              - jnp.einsum("...kn,nj->...kj", Ui, M2i))
-        Zi = (jnp.einsum("...kn,nj->...kj", Ur, M2i)
-              + jnp.einsum("...kn,nj->...kj", Ui, M2r))
+        Zr = (em("...kn,nj->...kj", Ur, M2r)
+              - em("...kn,nj->...kj", Ui, M2i))
+        Zi = (em("...kn,nj->...kj", Ur, M2i)
+              + em("...kn,nj->...kj", Ui, M2r))
         Vr = a2a(Zr, b + 1, b)
         Vi = a2a(Zi, b + 1, b)
         out = lambda v: jnp.swapaxes(v, -1, -2).reshape(B + (R1 * R2l,))

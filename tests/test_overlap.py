@@ -161,3 +161,46 @@ def test_overlap_near_nyquist_warns():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         cwt_overlap_save(x, coarse, 1.0, mother=wt.Morlet(6), chunk=256)
+
+
+def test_overlap_planar_matches_complex_overlap():
+    """The complex-free planar overlap-save (the chip-measurable variant)
+    equals the complex surface to f32 round-off on interior samples, and
+    the planar streamed power equals the full-W power sum."""
+    from pycwt_tpu.ops.overlap import (cwt_overlap_save,
+                                       cwt_overlap_save_planar,
+                                       streamed_global_power_planar)
+
+    rng = np.random.default_rng(9)
+    N = 4096
+    x = rng.standard_normal(N).astype(np.float32)
+    scales = jnp.asarray([8.0, 16.0, 32.0], jnp.float32)
+    W = np.asarray(cwt_overlap_save(jnp.asarray(x), scales, 1.0,
+                                    mother=wt.Morlet(6), chunk=1024))
+    wr, wi = cwt_overlap_save_planar(x, scales, 1.0, mother=wt.Morlet(6),
+                                     chunk=1024)
+    Wp = np.asarray(wr) + 1j * np.asarray(wi)
+    assert Wp.shape == W.shape
+    scale = np.abs(W).max()
+    assert np.abs(Wp - W).max() < 2e-5 * scale
+
+    pw = np.asarray(streamed_global_power_planar(
+        x, scales, 1.0, mother=wt.Morlet(6), chunk=1024))
+    ref = (np.abs(W) ** 2).sum(axis=-1)
+    np.testing.assert_allclose(pw, ref, rtol=3e-5)
+
+
+def test_overlap_planar_short_signal_passthrough():
+    from pycwt_tpu.ops.overlap import cwt_overlap_save_planar
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(500).astype(np.float32)
+    scales = jnp.asarray([8.0, 16.0], jnp.float32)
+    wr, wi = cwt_overlap_save_planar(x, scales, 1.0, mother=wt.Morlet(6),
+                                     chunk=1 << 18)
+    W_ref, _ = cwt_batch(jnp.asarray(x, jnp.float32)[None], scales, 1.0,
+                         mother=wt.Morlet(6), nfft=512)
+    W_ref = np.asarray(W_ref[0])
+    got = np.asarray(wr) + 1j * np.asarray(wi)
+    assert got.shape == W_ref.shape  # trimmed to N like the complex surface
+    assert np.abs(got - W_ref).max() < 2e-5 * np.abs(W_ref).max()
