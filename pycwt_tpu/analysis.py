@@ -266,7 +266,7 @@ def wct_analysis(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
 def wct_matrix_analysis(y, dt, dj=1 / 12, s0=-1, J=-1, mother="morlet",
                         significance_level=0.8646, sig: bool = True,
                         pairs=None, mc_count=300, seed=0, cache=True,
-                        normalize=True, alpha_quant=0.01):
+                        normalize=True, alpha_quant=None):
     """All-pairs coherence analysis of ``B`` signals with per-pair
     Monte-Carlo nulls — the production serving workflow of
     :func:`pycwt_tpu.coherence.wct_matrix` +

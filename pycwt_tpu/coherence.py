@@ -1242,7 +1242,7 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
                            cache=True, seed=0, mc_batch=None,
                            config: CWTConfig = DEFAULT,
                            pair_block: int | None = None,
-                           alpha_quant: float = 0.01):
+                           alpha_quant: float | None = None):
     """:func:`wct_significance` for MANY ``(al1, al2)`` pairs in ONE
     compiled Monte-Carlo run — the per-pair null curves of an all-pairs
     analysis (:func:`wct_matrix`) without paying one XLA/Mosaic compile per
@@ -1260,17 +1260,22 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     block, default ≤64), so one compile serves any P and histogram memory
     is bounded by a block.
 
-    **Null deduplication** (``alpha_quant``, default 0.01): the null
-    distribution depends only on the *unordered* coefficient pair, and its
-    sensitivity to sub-percent alpha perturbations is far below MC sampling
-    noise at any practical ``mc_count`` (seed-to-seed spread ~0.024 at 300
-    members) — so pairs are canonicalized to sorted,
-    ``alpha_quant``-rounded coefficients, ONE ensemble per distinct key is
-    simulated (at the quantized values), and the curve is fanned out to
-    every pair sharing the key.  An all-pairs network whose B stations fit
-    k ≤ B distinct (rounded) alphas runs k·(k+1)/2 ensembles instead of
-    B·(B−1)/2.  ``alpha_quant=0`` restricts sharing to exactly-equal
-    sorted pairs.
+    **Null deduplication** (``alpha_quant``): the null distribution depends
+    only on the *unordered* coefficient pair, and weakly on the
+    coefficients themselves — measured on the chip (BASELINE.md round 5,
+    ``tools/tpu_bench_composed.py``): the significance curve drifts by only
+    ~0.01-0.02 per 0.1 of alpha across [0, 0.9], versus ~0.024 seed-to-seed
+    MC noise at the default 300 members.  Pairs are therefore canonicalized
+    to sorted, ``alpha_quant``-rounded coefficients; ONE ensemble per
+    distinct key is simulated (at the quantized values) and fanned out to
+    every pair sharing it.  The default (``None``) scales the quantization
+    with the ensemble's own sampling noise — ``q = clip(0.05·sqrt(300 /
+    mc_count), 0.01, 0.05)`` — keeping the quantization bias (≈ drift ×
+    q/2 ≲ 0.005 at q=0.05) a fraction of the MC noise it hides under.
+    An all-pairs network whose B stations fit k ≤ B distinct (rounded)
+    alphas runs k·(k+1)/2 ensembles instead of B·(B−1)/2.
+    ``alpha_quant=0`` restricts sharing to exactly-equal sorted pairs;
+    any explicit float overrides the auto rule.
 
     **Incremental cache** (``cache=True``): each pair's curve is read from
     and written to the reference-compatible disk cache under its own key;
@@ -1329,6 +1334,11 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     # coefficients ARE the quantized values, so a key's ensemble depends
     # only on (key, seed, mc_count) — never on which pairs referenced it,
     # in what order, or what was already cached.
+    if alpha_quant is None:
+        # Auto rule (see docstring): quantization bias stays a fraction of
+        # the ensemble's own sampling noise, which shrinks as sqrt(1/m).
+        alpha_quant = float(np.clip(0.05 * np.sqrt(300.0 / max(mc_count, 1)),
+                                    0.01, 0.05))
     if alpha_quant:
         q = float(alpha_quant)
         canon = [tuple(sorted((round(al1[p] / q) * q, round(al2[p] / q) * q)))

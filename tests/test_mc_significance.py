@@ -433,3 +433,28 @@ def test_sig_cache_name_keys_on_resolved_policy():
     planar64 = _sig_cache_name(
         *args, CWTConfig(engine="planar", dtype="float64"))
     assert planar64 != planar32
+
+
+def test_wct_significance_batch_auto_quant_scales_with_mc_count():
+    """The default alpha_quant follows the ensemble's sampling noise:
+    q = clip(0.05*sqrt(300/mc_count), 0.01, 0.05).  Alphas 0.02 apart share
+    a null at the default-noise grid (q=0.05) but not under a
+    high-precision ensemble's finer grid (q=0.01)."""
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, progress=False, cache=False,
+              seed=3, mc_batch=4)
+    coarse = wct_significance_batch([0.44, 0.46], [0.3, 0.3], mc_count=8,
+                                    **kw)
+    np.testing.assert_array_equal(coarse[0], coarse[1])  # q=0.05 -> shared
+    kw_fine = dict(kw, mc_batch=100)
+    fine = wct_significance_batch([0.44, 0.46], [0.3, 0.3], mc_count=100,
+                                  **kw_fine)
+    # q = 0.05*sqrt(3) clipped to 0.05? sqrt(300/100)=1.73 -> 0.0866 -> 0.05
+    np.testing.assert_array_equal(fine[0], fine[1])
+    very_fine = wct_significance_batch([0.44, 0.46], [0.3, 0.3],
+                                       mc_count=12000, mc_batch=3000,
+                                       dt=1.0, dj=1 / 4, s0=2.0, J=7,
+                                       progress=False, cache=False, seed=3)
+    # q = 0.05*sqrt(300/12000) = 0.0079 -> clipped to 0.01: distinct keys.
+    assert np.nanmax(np.abs(very_fine[0] - very_fine[1])) > 0

@@ -84,11 +84,12 @@ def main():
     P = len(res["pairs"])
     out["pairs"] = P
 
-    # Distinct nulls under the default alpha_quant (recompute host-side).
+    # Distinct nulls under the default (auto) alpha_quant at mc_count=300.
     g = res["alpha"]
-    q = 0.01
+    q = 0.05
     keys = {tuple(sorted((round(g[i] / q) * q, round(g[j] / q) * q)))
             for i, j in res["pairs"]}
+    out["alpha_quant"] = q
     out["distinct_nulls"] = len(keys)
 
     # Warm-cache rerun: every curve on disk -> no MC at all.
