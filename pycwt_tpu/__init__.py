@@ -23,6 +23,8 @@ from .coherence import (wct, wct_matrix, wct_pairs, wct_significance,  # noqa: F
                         wct_significance_batch, xwt,
                         xwt_pairs, xwt_pairs_planar, xwt_planar)
 from .mothers import DOG, MexicanHat, Morlet, Paul  # noqa: F401
+from .ops.twofloat import (cwt_twofloat, wct_twofloat,  # noqa: F401
+                           xwt_twofloat)
 from .stats import ar1, ar1_batch, ar1_spectrum, rednoise  # noqa: F401
 from .utils.helpers import boxpdf, find, get_cache_dir, rect  # noqa: F401
 
@@ -31,6 +33,8 @@ __all__ = [
     "xwt_pairs_planar", "xwt_planar",
     "wct", "wct_matrix", "wct_pairs", "wct_significance",
     "wct_significance_batch",
+    # Chip-side f64-class parity mode (ops/twofloat.py; BASELINE.md round 5)
+    "cwt_twofloat", "xwt_twofloat", "wct_twofloat",
     "mothers", "Morlet", "Paul", "DOG", "MexicanHat",
     "ar1", "ar1_batch", "ar1_spectrum", "rednoise", "find", "rect", "boxpdf",
     "get_cache_dir",
