@@ -1242,7 +1242,8 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
                            cache=True, seed=0, mc_batch=None,
                            config: CWTConfig = DEFAULT,
                            pair_block: int | None = None,
-                           alpha_quant: float | None = None):
+                           alpha_quant: float | None = None,
+                           mesh=None, mesh_axis: str = "mc"):
     """:func:`wct_significance` for MANY ``(al1, al2)`` pairs in ONE
     compiled Monte-Carlo run — the per-pair null curves of an all-pairs
     analysis (:func:`wct_matrix`) without paying one XLA/Mosaic compile per
@@ -1287,6 +1288,14 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     cache entry (nearby — or, for α > 0.25, ALL — coefficient pairs fold
     together); that sharing is inherited by design, and this surface's
     dedup makes the computed curves consistent with it.
+
+    **Multi-chip** (``mesh``): pass a :class:`jax.sharding.Mesh` (and the
+    ``mesh_axis`` to spread over, default ``"mc"``) to shard the
+    distinct-null axis across devices — each chip runs the full ensemble
+    for its slice of nulls with zero communication
+    (:func:`pycwt_tpu.parallel.sharded_mc_histogram_pairs`).  Results are
+    bit-identical to the single-device run (member streams are keyed by
+    hash slot and global member index, never by device).
     """
     mother = as_mother(wavelet)
     al1 = np.atleast_1d(np.asarray(al1, np.float64))
@@ -1397,12 +1406,17 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     # n/nfft) the block shrinks below the default 64 instead of
     # overflowing HBM.
     members_fit = _mc_auto_batch(mc_count * 64, J + 1, nfft, n)
+    D = 1 if mesh is None else int(mesh.shape[mesh_axis])
     if pair_block is not None:
         Pblk = max(1, min(int(pair_block), Pd))
     else:
         Pblk = max(1, min(Pd, 64, members_fit))
+    if D > 1:
+        # Sharded: the block spreads over the mesh axis, so it must divide
+        # by D, and the per-DEVICE slice is what the bytes model bounds.
+        Pblk = -(-Pblk // D) * D
     if mc_batch is None:
-        mc_batch = max(1, members_fit // Pblk)
+        mc_batch = max(1, members_fit // max(1, Pblk // D))
     mc_batch = min(int(mc_batch), mc_count)
     nchunks = -(-mc_count // mc_batch)
     # Shared burn-in sized for the largest |g| (longer burn-in is only
@@ -1426,6 +1440,17 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
     mc_j = jnp.asarray(mc_count, jnp.int32)
     blocks = []
     for b0 in range(0, Pd + npad, Pblk):
+        if D > 1:
+            from .parallel.sharded import sharded_mc_histogram_pairs
+
+            blocks.append(np.asarray(sharded_mc_histogram_pairs(
+                mesh, key, sj_j, oc_j, slots_p[b0:b0 + Pblk],
+                np.asarray(a1p[b0:b0 + Pblk], dtype),
+                np.asarray(a2p[b0:b0 + Pblk], dtype), mc_count, dt,
+                mother=mother, nfft=nfft, dj=dj, batch=mc_batch,
+                nchunks=nchunks, n=n, tau=tau, engine=config.engine,
+                axis_name=mesh_axis), np.float64))
+            continue
         blocks.append(np.asarray(_mc_histogram_run_pairs(
             key, sj_j, oc_j, jnp.asarray(slots_p[b0:b0 + Pblk]),
             jnp.asarray(a1p[b0:b0 + Pblk], dtype),

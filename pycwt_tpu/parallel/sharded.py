@@ -35,6 +35,7 @@ __all__ = [
     "sharded_wct",
     "sharded_wct_pairs",
     "sharded_mc_histogram",
+    "sharded_mc_histogram_pairs",
 ]
 
 
@@ -308,3 +309,50 @@ def sharded_mc_histogram(mesh: Mesh, key, scales, outsidecoi, dt, *,
         out_specs=P(),
     )
     return jax.jit(fn)(key, jnp.asarray(scales), jnp.asarray(outsidecoi))
+
+
+def sharded_mc_histogram_pairs(mesh: Mesh, key, scales, outsidecoi, slots,
+                               g1, g2, mc_count, dt, *, mother: Mother,
+                               nfft: int, dj: float, batch: int, nchunks: int,
+                               n: int, tau: int, engine: str | None = None,
+                               axis_name: str = "mc"):
+    """Distinct-null Monte-Carlo histograms with the NULL axis sharded over a
+    mesh axis — the multi-chip form of the batched-alpha significance sweep
+    (``coherence.wct_significance_batch``): each device runs the FULL
+    ensemble for its local slice of null slots (one fused fori-loop
+    dispatch, zero communication — nulls are independent), and the gathered
+    ``(P, S, NBINS)`` counters come back pair-sharded.
+
+    Because member streams are keyed by (stable hash slot, global member
+    index) — not by device or position — the result is bit-identical to the
+    single-device :func:`coherence._mc_histogram_run_pairs` over the same
+    slots for ANY mesh factorization (pinned in ``tests/test_sharding.py``).
+    ``len(slots)`` must divide by the mesh axis size (pad with repeats of
+    the last slot and drop the tail, as the single-device surface does for
+    its pair blocks).
+    """
+    from ..coherence import _mc_histogram_run_pairs
+
+    D = mesh.shape[axis_name]
+    if len(slots) % D:
+        raise ValueError(
+            f"slots ({len(slots)}) must divide the '{axis_name}' axis ({D});"
+            " pad with repeats of the last slot and drop the tail rows")
+
+    def shard_fn(key, sj, oc, slots_l, g1_l, g2_l, mc):
+        return _mc_histogram_run_pairs(
+            key, sj, oc, slots_l, g1_l, g2_l, mc, dt, mother=mother,
+            nfft=nfft, dj=dj, batch=batch, nchunks=nchunks, n=n, tau=tau,
+            engine=engine)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name), P(axis_name), P(axis_name),
+                  P()),
+        out_specs=P(axis_name),
+        check_vma=False,  # device-varying slots feed an unvarying fori carry
+    )
+    return jax.jit(fn)(key, jnp.asarray(scales), jnp.asarray(outsidecoi),
+                       jnp.asarray(slots), jnp.asarray(g1), jnp.asarray(g2),
+                       jnp.asarray(mc_count, jnp.int32))

@@ -227,3 +227,66 @@ def test_sharded_wct_matrix_rejects_ragged_pairs(workload):
                            np.zeros((10, 2), np.int32),
                            jnp.asarray(grid.sj, jnp.float32), DT, 1 / 8,
                            mother=MOTHER, nfft=nfft, block=2)
+
+
+def test_sharded_mc_histogram_pairs_matches_single_device(workload):
+    """The pair-sharded batched-null MC (8 nulls over an 8-device 'mc' axis)
+    is BIT-identical to the single-device fused run over the same slots:
+    member streams are keyed by (hash slot, global member index), never by
+    device or position (round-5 surface)."""
+    from pycwt_tpu.coherence import _mc_histogram_run_pairs
+    from pycwt_tpu.parallel import sharded_mc_histogram_pairs
+
+    _, grid, nfft = workload
+    n = N0
+    coi = np.linspace(0, 20, n)
+    period = 1.0 / grid.freqs
+    outsidecoi = period[:, None] <= coi[None, :]
+    key = jax.random.PRNGKey(9)
+    slots = np.asarray([11, 5003, 7, 123457, 42, 9999, 31337, 2], np.int64)
+    g1 = np.linspace(0.1, 0.8, 8)
+    g2 = np.linspace(0.7, 0.05, 8)
+    kw = dict(mother=MOTHER, nfft=nfft, dj=grid.dj, batch=3, nchunks=2,
+              n=n, tau=64)
+
+    mesh = make_mesh(MeshSpec(mc=8))
+    sharded = np.asarray(sharded_mc_histogram_pairs(
+        mesh, key, jnp.asarray(grid.sj), outsidecoi, slots, g1, g2, 5, DT,
+        **kw))
+    single = np.asarray(_mc_histogram_run_pairs(
+        key, jnp.asarray(grid.sj), jnp.asarray(outsidecoi),
+        jnp.asarray(slots), jnp.asarray(g1), jnp.asarray(g2),
+        jnp.asarray(5, jnp.int32), DT, **kw))
+    assert sharded.shape == single.shape == (8, len(grid.sj), 1000)
+    np.testing.assert_array_equal(sharded, single)
+    # Exact-count masking holds in the sharded form too: 5 members of the
+    # 6 drawn (2 chunks x batch 3) are histogrammed per null.
+    np.testing.assert_allclose(sharded.sum(axis=(1, 2)),
+                               5 * outsidecoi.sum())
+
+
+def test_sharded_mc_histogram_pairs_rejects_indivisible():
+    from pycwt_tpu.parallel import sharded_mc_histogram_pairs
+
+    mesh = make_mesh(MeshSpec(mc=8))
+    with pytest.raises(ValueError, match="divide"):
+        sharded_mc_histogram_pairs(
+            mesh, jax.random.PRNGKey(0), jnp.zeros(4), np.ones((4, 8), bool),
+            np.arange(3), np.zeros(3), np.zeros(3), 5, 1.0,
+            mother=MOTHER, nfft=8, dj=0.25, batch=2, nchunks=1, n=8, tau=0)
+
+
+def test_wct_significance_batch_mesh_equals_single_device():
+    """The user surface with mesh= spreads distinct nulls over devices and
+    returns bit-identical curves to the single-device run (chunking and
+    device placement never enter the member streams)."""
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    kw = dict(dt=1.0, dj=1 / 4, s0=2.0, J=7, mc_count=10, progress=False,
+              cache=False, seed=4)
+    al1 = [0.2, 0.45, 0.6, 0.7, 0.15]
+    al2 = [0.3, 0.5, 0.25, 0.6, 0.4]
+    single = wct_significance_batch(al1, al2, mc_batch=5, **kw)
+    mesh = make_mesh(MeshSpec(mc=8))
+    sharded = wct_significance_batch(al1, al2, mesh=mesh, **kw)
+    np.testing.assert_array_equal(single, sharded)
