@@ -140,53 +140,96 @@ def _cdf_mul(a, b):
 
 # ------------------------------------------------------------- Stockham FFT
 
+def _cdf_mul_i(a, sign: int):
+    """Exact multiply by ``sign·i`` on a planar two-float value: a swap with
+    negation — no arithmetic error."""
+    rh, rl, ih, il = a
+    if sign < 0:   # −i·(x + iy) = y − ix
+        return (ih, il, -rh, -rl)
+    return (-ih, -il, rh, rl)  # +i·(x + iy) = −y + ix
+
+
+def _tw(n: int, mult: int, m: int, sign: int):
+    """f64-split twiddle planes exp(sign·2πi·mult·p/n), p ∈ [0, m)."""
+    ang = sign * 2.0 * np.pi * mult * np.arange(m, dtype=np.float64) / n
+    ch, cl = df_from_f64(np.cos(ang))
+    sh, sl = df_from_f64(np.sin(ang))
+    return ch, cl, sh, sl
+
+
 @functools.lru_cache(maxsize=64)
-def _stage_twiddles(nfft: int, sign: int):
-    """Per-stage twiddles exp(sign·2πi·p/n) for n = nfft, nfft/2, ..., 2,
-    evaluated in f64 and split — returned as a list of (ch, cl, sh, sl)."""
-    out = []
+def _stage_plan(nfft: int, sign: int):
+    """Mixed radix-4/radix-2 Stockham stage plan: radix-4 stages halve the
+    elementwise-pass count of the all-radix-2 ladder (the FFT is HBM-bound
+    — BASELINE.md round 5 measures the ~1.8× win), with one leading radix-2
+    stage when log2(nfft) is odd.  Each entry is ("r2", tw) or
+    ("r4", (w1, w2, w3))."""
+    plan = []
     n = nfft
-    while n > 1:
-        m = n // 2
-        ang = sign * 2.0 * np.pi * np.arange(m, dtype=np.float64) / n
-        ch, cl = df_from_f64(np.cos(ang))
-        sh, sl = df_from_f64(np.sin(ang))
-        out.append((ch, cl, sh, sl))
+    if (n.bit_length() - 1) % 2:
+        plan.append(("r2", _tw(n, 1, n // 2, sign)))
         n //= 2
-    return out
+    while n > 1:
+        m = n // 4
+        plan.append(("r4", (_tw(n, 1, m, sign), _tw(n, 2, m, sign),
+                            _tw(n, 3, m, sign))))
+        n //= 4
+    return plan
+
+
+def _bcast_tw(tw):
+    return tuple(jnp.asarray(t)[:, None] for t in tw)
 
 
 @functools.partial(jax.jit, static_argnames=("nfft", "sign"))
 def _fft_df_jit(rh, rl, ih, il, *, nfft: int, sign: int):
-    """Radix-2 Stockham autosort FFT on planar two-float inputs ``(..., N)``.
+    """Mixed radix-4/2 Stockham autosort FFT on planar two-float inputs
+    ``(..., N)``.
 
     Natural order in and out; ``sign=-1`` forward, ``+1`` inverse WITHOUT the
     1/N scale (N is a power of two, so the caller's 1/N multiply is exact).
-    Each stage views the array as (n, s) [p-major], computes
-    ``y[2p]   = a_p + b_p``,
-    ``y[2p+1] = (a_p − b_p) · w_p``,  ``w_p = exp(sign·2πi·p/n)``,
-    and reshapes to (n/2, 2s) — the classic out-of-place Stockham recursion
-    with all butterflies as two-float error-free arithmetic.
+    Each stage views the array as (n, s) [p-major].  Radix-2 step:
+    ``y[2p] = a+b``, ``y[2p+1] = (a−b)·w_n^p``.  Radix-4 step (DIF, with
+    the quarter-DFT's ±i factors as exact planar swaps):
+    ``t0 = a+c, t1 = a−c, t2 = b+d, t3 = sign·i·(b−d)``;
+    ``y[4p]   = t0+t2``,            ``y[4p+1] = (t1+t3)·w_n^p``,
+    ``y[4p+2] = (t0−t2)·w_n^{2p}``, ``y[4p+3] = (t1−t3)·w_n^{3p}``;
+    then reshape to (n/R, R·s) — the classic out-of-place Stockham
+    recursion with every butterfly in two-float error-free arithmetic.
     """
     lead = rh.shape[:-1]
     B = int(np.prod(lead, dtype=np.int64)) if lead else 1
     x = tuple(t.reshape(B, nfft, 1) for t in (rh, rl, ih, il))
     s = 1
     n = nfft
-    for (ch, cl, sh, sl) in _stage_twiddles(nfft, sign):
-        m = n // 2
-        a = tuple(t[:, :m, :] for t in x)
-        b = tuple(t[:, m:, :] for t in x)
-        ya = _cdf_add(a, b)
-        d = _cdf_sub(a, b)
-        w = (jnp.asarray(ch)[:, None], jnp.asarray(cl)[:, None],
-             jnp.asarray(sh)[:, None], jnp.asarray(sl)[:, None])
-        yb = _cdf_mul(d, w)
+    for kind, tw in _stage_plan(nfft, sign):
+        if kind == "r2":
+            m = n // 2
+            a = tuple(t[:, :m, :] for t in x)
+            b = tuple(t[:, m:, :] for t in x)
+            ys = (_cdf_add(a, b), _cdf_mul(_cdf_sub(a, b), _bcast_tw(tw)))
+            R = 2
+        else:
+            m = n // 4
+            a = tuple(t[:, 0 * m:1 * m, :] for t in x)
+            b = tuple(t[:, 1 * m:2 * m, :] for t in x)
+            c = tuple(t[:, 2 * m:3 * m, :] for t in x)
+            d = tuple(t[:, 3 * m:4 * m, :] for t in x)
+            t0 = _cdf_add(a, c)
+            t1 = _cdf_sub(a, c)
+            t2 = _cdf_add(b, d)
+            t3 = _cdf_mul_i(_cdf_sub(b, d), sign)
+            w1, w2, w3 = tw
+            ys = (_cdf_add(t0, t2),
+                  _cdf_mul(_cdf_add(t1, t3), _bcast_tw(w1)),
+                  _cdf_mul(_cdf_sub(t0, t2), _bcast_tw(w2)),
+                  _cdf_mul(_cdf_sub(t1, t3), _bcast_tw(w3)))
+            R = 4
         x = tuple(
-            jnp.stack([pa, pb], axis=2).reshape(B, m, 2 * s)
-            for pa, pb in zip(ya, yb))
+            jnp.stack([y[k] for y in ys], axis=2).reshape(B, m, R * s)
+            for k in range(4))
         n = m
-        s *= 2
+        s *= R
     return tuple(t.reshape(*lead, nfft) for t in x)
 
 
