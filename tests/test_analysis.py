@@ -56,7 +56,8 @@ def test_example_scripts_run():
     env = {**os.environ, "PYCWT_TPU_PLATFORM": "cpu",
            "PYCWT_TPU_MC_COUNT": "10",
            "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
-    for script in ["examples/sample_cwt.py", "examples/sample_xwt.py"]:
+    for script in ["examples/sample_cwt.py", "examples/sample_xwt.py",
+                   "examples/sample_network.py"]:
         r = subprocess.run(
             [sys.executable, os.path.join(repo, script)], capture_output=True,
             text=True, timeout=600, env=env, cwd=repo,
