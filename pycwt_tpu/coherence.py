@@ -947,13 +947,52 @@ def _sig_cache_name(al1: float, al2: float, dj: float, s0: float, dt: float,
     # numerically different pipelines must never share a curve file.  Only
     # the reference's own regime — f64 xla with pow-2 padding — gets the
     # reference's bare (interoperable) name.
+    eng, rdt, pp = _resolved_policy(config)
+    if (eng, rdt, pp) != ("xla", "float64", 1):
+        name += f"_cfg{eng}-{rdt}-p{pp}"
+    return name
+
+
+def _resolved_policy(config: CWTConfig) -> tuple[str, str, int]:
     from .ops.fft import resolve_engine
 
-    eng = resolve_engine(config.engine)
-    rdt = np.dtype(config.real_dtype).name
-    if (eng, rdt, config.pad_pow2) != ("xla", "float64", True):
-        name += f"_cfg{eng}-{rdt}-p{int(config.pad_pow2)}"
-    return name
+    return (resolve_engine(config.engine), np.dtype(config.real_dtype).name,
+            int(config.pad_pow2))
+
+
+def _sig_cfg_tag(config: CWTConfig) -> str:
+    eng, rdt, pp = _resolved_policy(config)
+    return f"pycwt_tpu cfg={eng}-{rdt}-p{pp}"
+
+
+def _sig_cache_read(path: str, config: CWTConfig):
+    """Read a cached significance curve, honoring the numeric-policy header.
+
+    Curves this library writes carry a ``# pycwt_tpu cfg=...`` header naming
+    the RESOLVED policy that computed them (np.loadtxt skips ``#`` lines, so
+    the files stay readable by the reference).  A header naming a DIFFERENT
+    policy is treated as a cache miss — this closes the legacy hole where a
+    pre-round-5 planar-f32 chip run wrote under the bare reference name and
+    a later xla-f64 run would read it back as reference-grade.  Headerless
+    files (reference-written, or pre-round-5) are accepted: the ambiguity
+    is resolved in favor of reference interop, and only applies to entries
+    created before the header existed.
+    """
+    import gzip
+
+    with gzip.open(path, "rt") as f:
+        first = f.readline()
+    if first.startswith("#") and "cfg=" in first:
+        if first.lstrip("# ").rstrip() != _sig_cfg_tag(config):
+            raise OSError(
+                f"cached curve {path} was computed under a different "
+                "resolved numeric policy")
+    return np.loadtxt(path, unpack=True)
+
+
+def _sig_cache_write(path: str, curve: np.ndarray,
+                     config: CWTConfig) -> None:
+    np.savetxt(path, curve, header=_sig_cfg_tag(config))
 
 
 def _mc_auto_batch(mc_count: int, S: int, nfft: int, n: int,
@@ -1035,7 +1074,8 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
         cached = None
         if is_coord:
             try:
-                cached = np.loadtxt(f"{cache_dir}/{cache_file}.gz", unpack=True)
+                cached = _sig_cache_read(f"{cache_dir}/{cache_file}.gz",
+                                         config)
                 print("NOTE: WCT significance loaded from cache.\n")
             except OSError:
                 cached = None
@@ -1162,7 +1202,7 @@ def wct_significance(al1, al2, dt, dj, s0, J, significance_level=0.95,
     )
 
     if cache and is_coord:
-        np.savetxt(f"{cache_dir}/{cache_file}.gz", sig95)
+        _sig_cache_write(f"{cache_dir}/{cache_file}.gz", sig95, config)
     return sig95
 
 
@@ -1329,7 +1369,7 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
         cache_dir = get_cache_dir()
         for p in range(P):
             try:
-                sig[p] = np.loadtxt(f"{cache_dir}/{names[p]}.gz", unpack=True)
+                sig[p] = _sig_cache_read(f"{cache_dir}/{names[p]}.gz", config)
                 have[p] = True
             except OSError:
                 pass
@@ -1350,8 +1390,20 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
                                     0.01, 0.05))
     if alpha_quant:
         q = float(alpha_quant)
-        canon = [tuple(sorted((round(al1[p] / q) * q, round(al2[p] / q) * q)))
-                 for p in range(P)]
+
+        def _q(v):
+            # Round to the grid, then clamp the TOP cell to q/2 inside the
+            # stationarity boundary: |alpha| in [1 - q/2, 1) would round to
+            # exactly +-1.0, where the AR(1) burn-in diverges
+            # (-2/log(1) -> inf) — and the |alpha| >= 1 guard above ran on
+            # the PRE-quantization values.  The clamp keeps the simulated
+            # coefficient within the same q/2 of the true one as any other
+            # cell (round-5 review finding; wct_matrix_analysis clips fits
+            # to exactly +-0.99, which lands in this cell at q=0.05).
+            v = round(v / q) * q
+            return float(np.sign(v) * min(abs(v), 1.0 - q / 2))
+
+        canon = [tuple(sorted((_q(al1[p]), _q(al2[p])))) for p in range(P)]
     else:
         canon = [tuple(sorted((float(al1[p]), float(al2[p]))))
                  for p in range(P)]
@@ -1482,5 +1534,5 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
         cache_dir = get_cache_dir()
         for p in range(P):
             if not have[p]:
-                np.savetxt(f"{cache_dir}/{names[p]}.gz", sig[p])
+                _sig_cache_write(f"{cache_dir}/{names[p]}.gz", sig[p], config)
     return sig

@@ -340,6 +340,11 @@ def _planar_chunk_transform(slab, scales32, mother, nfft, dt, precision,
         return fused_cwt_planar(sr, si, scales32, mother=mother, nfft=nfft,
                                 dt=float(dt), interpret=interpret,
                                 precision=precision, output=output)
+    # Below the fused kernel's floor the planar-XLA formulation always runs
+    # at HIGHEST — same convention as _wct_core_planar and fused_cwt_planar's
+    # own small path (the tier knob is a property of the fused kernel's MXU
+    # substages; small transforms are a handful of tiles where HIGHEST is
+    # already the measured-fastest choice, BASELINE.md round 3).
     wr, wi = _small_planar_xla(sr, si, scales32, mother=mother, nfft=nfft,
                                dt=float(dt),
                                precision=jax.lax.Precision.HIGHEST)

@@ -32,7 +32,7 @@ missing #1).  Throughput mode is unaffected.
 
 Parity anchors: reference f64 numerics ``/root/reference/pycwt/wavelet.py:
 91-106`` (cwt), ``mothers.py:61-104`` (smooth), measured on the real chip by
-``tools/tpu_parity_report.py --twofloat`` and pinned by
+``tools/tpu_parity_report.py --engine=twofloat`` and pinned by
 ``tests/test_twofloat.py`` / the chip-gated test in ``tests/test_tpu_chip.py``.
 """
 from __future__ import annotations

@@ -458,3 +458,49 @@ def test_wct_significance_batch_auto_quant_scales_with_mc_count():
                                        progress=False, cache=False, seed=3)
     # q = 0.05*sqrt(300/12000) = 0.0079 -> clipped to 0.01: distinct keys.
     assert np.nanmax(np.abs(very_fine[0] - very_fine[1])) > 0
+
+
+def test_wct_significance_batch_boundary_alpha_does_not_round_to_one():
+    """Quantization must never push a valid stationary coefficient to
+    exactly +-1 (where the AR(1) burn-in diverges): alpha=0.99 — exactly
+    what wct_matrix_analysis's stationarity clip produces — runs, and its
+    canonical value stays q/2 inside the boundary (round-5 review fix)."""
+    from pycwt_tpu.coherence import wct_significance_batch
+
+    sig = wct_significance_batch([0.99, -0.99], [0.5, 0.5], dt=1.0,
+                                 dj=1 / 4, s0=2.0, J=7, mc_count=4,
+                                 progress=False, cache=False, seed=1,
+                                 mc_batch=4)
+    assert np.isfinite(sig[:, 1:5]).any()
+    # 0.99 and 0.98 share the clamped top cell at q=0.05 (both round to
+    # 1.0 and clamp to 0.975).
+    sig2 = wct_significance_batch([0.98, -0.99], [0.5, 0.5], dt=1.0,
+                                  dj=1 / 4, s0=2.0, J=7, mc_count=4,
+                                  progress=False, cache=False, seed=1,
+                                  mc_batch=4)
+    np.testing.assert_array_equal(sig[0], sig2[0])
+
+
+def test_sig_cache_rejects_cross_policy_entries(tmp_path, monkeypatch):
+    """Curves carry a resolved-policy header: a curve cached under one
+    numeric policy is a cache MISS for a different resolved policy even
+    when the filename collides, while headerless (reference-written) files
+    are still accepted (round-5 review fix for the legacy bare-name hole)."""
+    from pycwt_tpu.coherence import (_sig_cache_read, _sig_cache_write,
+                                     _sig_cfg_tag)
+    from pycwt_tpu.config import CWTConfig, DEFAULT
+
+    curve = np.linspace(0, 1, 9)
+    path = str(tmp_path / "wct_sig_test.gz")
+    _sig_cache_write(path, curve, DEFAULT)
+    # Same resolved policy reads back.
+    np.testing.assert_allclose(_sig_cache_read(path, DEFAULT), curve)
+    # A different resolved policy must miss.
+    other = CWTConfig(engine="mxu", dtype="float32")
+    assert _sig_cfg_tag(other) != _sig_cfg_tag(DEFAULT)
+    with pytest.raises(OSError, match="different resolved"):
+        _sig_cache_read(path, other)
+    # Headerless files (the reference's own writes) are accepted.
+    np.savetxt(path, curve)
+    np.testing.assert_allclose(_sig_cache_read(path, DEFAULT), curve)
+    np.testing.assert_allclose(_sig_cache_read(path, other), curve)

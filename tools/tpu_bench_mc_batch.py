@@ -30,7 +30,11 @@ rng = np.random.default_rng(0)
 al1 = rng.uniform(0.1, 0.9, P)
 al2 = rng.uniform(0.1, 0.9, P)
 kw = dict(dt=float(g["dt"]), dj=float(g["dj"]), s0=float(g["s0"]),
-          J=int(g["J"]), mc_count=300, progress=False, cache=False)
+          J=int(g["J"]), mc_count=300, progress=False, cache=False,
+          # This bench measures P INDEPENDENT ensembles: disable the
+          # round-5 default dedup, or random alphas collide on the
+          # quantization grid and the timing covers fewer nulls than P.
+          alpha_quant=0)
 
 t0 = time.perf_counter()
 sig = wct_significance_batch(al1, al2, seed=11, **kw)
