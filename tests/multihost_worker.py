@@ -49,6 +49,30 @@ total = float(jnp.sum(hist).addressable_data(0)) if hasattr(jnp.sum(hist), "addr
 expected = 4 * outsidecoi.sum()
 assert abs(total - expected) < 0.5, (total, expected)
 
+# Batched-null MC with the NULL axis sharded across BOTH processes
+# (round 5): each process's devices hold their slice of null slots; shards
+# must equal the process-local single-device fused run (streams keyed by
+# hash slot + global member index, never device/process).
+from pycwt_tpu.coherence import _mc_histogram_run_pairs
+from pycwt_tpu.parallel import sharded_mc_histogram_pairs
+
+slots = np.asarray([17, 4242, 99991, 7], np.int64)
+g1p = np.asarray([0.2, 0.5, 0.65, 0.1], np.float32)
+g2p = np.asarray([0.4, 0.3, 0.15, 0.6], np.float32)
+pk = dict(mother=wt.Morlet(6), nfft=nfft, dj=1 / 4, batch=2, nchunks=2,
+          n=N0, tau=32)
+hp = sharded_mc_histogram_pairs(
+    mesh, jax.random.PRNGKey(3), jnp.asarray(grid.sj, jnp.float32),
+    outsidecoi, slots, g1p, g2p, 3, dt, **pk)
+hp_ref = np.asarray(_mc_histogram_run_pairs(
+    jax.random.PRNGKey(3), jnp.asarray(grid.sj, jnp.float32),
+    jnp.asarray(outsidecoi), jnp.asarray(slots), jnp.asarray(g1p),
+    jnp.asarray(g2p), jnp.asarray(3, jnp.int32), dt, **pk))
+for sh in hp.addressable_shards:
+    np.testing.assert_array_equal(
+        np.asarray(sh.data), hp_ref[sh.index],
+        err_msg=f"mc_pairs shard {sh.index} (2-process)")
+
 # host broadcast
 from pycwt_tpu.parallel.distributed import host_broadcast_array
 
