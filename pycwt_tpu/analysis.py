@@ -266,7 +266,7 @@ def wct_analysis(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
 def wct_matrix_analysis(y, dt, dj=1 / 12, s0=-1, J=-1, mother="morlet",
                         significance_level=0.8646, sig: bool = True,
                         pairs=None, mc_count=300, seed=0, cache=True,
-                        normalize=True, alpha_quant=None):
+                        normalize=True, alpha_quant=None, as_numpy=True):
     """All-pairs coherence analysis of ``B`` signals with per-pair
     Monte-Carlo nulls — the production serving workflow of
     :func:`pycwt_tpu.coherence.wct_matrix` +
@@ -294,9 +294,12 @@ def wct_matrix_analysis(y, dt, dj=1 / 12, s0=-1, J=-1, mother="morlet",
     if J == -1:
         J = int(np.round(np.log2(n0 * dt / s0) / dj))
 
+    # as_numpy=False keeps the (P, S, n0) maps on device — the fetch, not
+    # the compute, dominates on bandwidth-constrained hosts (wct_matrix
+    # docstring / BASELINE.md round 5).
     WCT, aWCT, coi, freq, pairs_out = wct_matrix(
         y, dt, dj=dj, s0=s0, J=J, wavelet=m, pairs=pairs,
-        normalize=normalize)
+        normalize=normalize, as_numpy=as_numpy)
 
     g, _, _ = ar1_batch(y)
     # White-noise fallback for degenerate fits, as the sample scripts do;

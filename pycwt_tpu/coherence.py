@@ -726,7 +726,8 @@ def _wct_matrix_scan(yn, pi, pj, scales, dt, *, mother: Mother, nfft: int,
 
 def wct_matrix(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
                normalize=True, config: CWTConfig = DEFAULT, pairs=None,
-               pair_block: int | None = None, max_bytes: float = 12e9):
+               pair_block: int | None = None, max_bytes: float = 12e9,
+               as_numpy: bool = True):
     """Wavelet coherence of MANY pairs drawn from ``B`` signals, with the
     per-signal work (CWT + self-smoothing) computed once and shared.
 
@@ -754,6 +755,13 @@ def wct_matrix(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
         for all ``i < j`` pairs.
     pair_block: cross-smoothing scan block (bytes-model auto when ``None``).
     max_bytes: resident-set budget for the shared ``(B, S, nfft)`` fields.
+    as_numpy: ``False`` returns the maps as DEVICE arrays instead of
+        fetching them to the host.  The all-pairs maps are large ((P, S,
+        n0) × 2 — ~450 MB for a 32-station network) and the device compute
+        is milliseconds, so on bandwidth-constrained links the host fetch
+        IS the wall time (measured: 0.04 s compute vs 22.8 s fetch over
+        the tunneled chip, BASELINE.md round 5); on-device consumers
+        (reductions, gradients, sharded post-processing) should skip it.
 
     Returns ``(WCT, aWCT, coi, freq, pairs)`` with ``WCT``/``aWCT`` of shape
     ``(P, S, n0)`` and ``pairs`` the ``(P, 2)`` index array used.
@@ -818,6 +826,8 @@ def wct_matrix(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet",
         jnp.asarray(sj, rdt), dt, mother=mother, nfft=nfft, dj=dj,
         engine=config.engine, block=blk, precision=config.precision)
     coi = coi_bartlett(n0, dt, mother)
+    if not as_numpy:
+        return WCT[:P], aWCT[:P], coi, freqs, pairs
     return (np.asarray(WCT)[:P], np.asarray(aWCT)[:P], coi, freqs,
             pairs)
 

@@ -362,3 +362,18 @@ def test_wct_nan_row_drop_matches_reference_semantics():
     Wm, am, _, freq_m, pairs = wt.wct_matrix(np.stack([y1, y2]), 0.25, **kw)
     assert Wm.shape[1] == len(sj_cwt)
     np.testing.assert_allclose(freq_m, freq_cwt)
+
+
+def test_wct_matrix_as_numpy_false_returns_device_arrays():
+    """as_numpy=False skips the host fetch (the maps can be ~450 MB and the
+    fetch dominates on slow links — BASELINE.md round 5); values match."""
+    import jax
+
+    rng = np.random.default_rng(12)
+    y = rng.standard_normal((4, 128))
+    Wn, An, coi, fr, pairs = wt.wct_matrix(y, 1.0, dj=1 / 8)
+    Wd, Ad, coi2, fr2, pairs2 = wt.wct_matrix(y, 1.0, dj=1 / 8,
+                                              as_numpy=False)
+    assert isinstance(Wd, jax.Array) and isinstance(Ad, jax.Array)
+    np.testing.assert_allclose(np.asarray(Wd), Wn, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ad), An, rtol=0, atol=1e-12)
