@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammainc, gammaln, ndtri
 
-__all__ = ["gammaincinv", "chi2_ppf"]
+__all__ = ["gammaincinv", "chi2_ppf", "chi2_ppf_np"]
 
 
 def gammaincinv(a, p, *, iters: int = 40):
@@ -61,3 +61,99 @@ def chi2_ppf(p, df):
     ``scipy.stats.chi2.ppf`` to ~1e-12 in float64 (tested).
     """
     return 2.0 * gammaincinv(jnp.asarray(df) / 2.0, p)
+
+
+# ----- host float64 twins (chip processes run without jax_enable_x64) -----
+#
+# The jnp implementations above compute in f32 when x64 is disabled — fine
+# inside fused device pipelines, but the API-level significance tests
+# (stats.significance) should be f64-exact regardless of process flags
+# (measured 3e-5 relative drift on a no-x64 chip process, round 5).  These
+# twins use only the stdlib (math.lgamma, statistics.NormalDist) + numpy —
+# scalar host math on tiny (J+1,) arrays.
+
+def _gser_np(a: float, x: float, itmax: int = 500,
+             eps: float = 3e-16) -> float:
+    """Series for the regularized lower incomplete gamma, x < a+1."""
+    import math
+
+    ap = a
+    s = 1.0 / a
+    delt = s
+    for _ in range(itmax):
+        ap += 1.0
+        delt *= x / ap
+        s += delt
+        if abs(delt) < abs(s) * eps:
+            break
+    return s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _gcf_np(a: float, x: float, itmax: int = 500,
+            eps: float = 3e-16) -> float:
+    """Lentz continued fraction for the regularized UPPER gamma Q(a, x)."""
+    import math
+
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / max(b, tiny)
+    h = d
+    for i in range(1, itmax):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < eps:
+            break
+    return math.exp(-x + a * math.log(x) - math.lgamma(a)) * h
+
+
+def _gammainc_np_scalar(a: float, x: float) -> float:
+    if x <= 0.0:
+        return 0.0
+    if x < a + 1.0:
+        return _gser_np(a, x)
+    return 1.0 - _gcf_np(a, x)
+
+
+def _gammaincinv_np_scalar(a: float, p: float, iters: int = 60) -> float:
+    import math
+    import statistics
+
+    # Wilson–Hilferty start (same as the jnp path); Newton's fixed point is
+    # set by the f64 gammainc, so start accuracy only affects iteration
+    # count.
+    z = statistics.NormalDist().inv_cdf(p)
+    t = 1.0 - 1.0 / (9.0 * a) + z * math.sqrt(1.0 / (9.0 * a))
+    x = a * max(t, 1e-8) ** 3
+    x = max(x, 1e-300)
+    lg = math.lgamma(a)
+    for _ in range(iters):
+        f = _gammainc_np_scalar(a, x) - p
+        logpdf = (a - 1.0) * math.log(x) - x - lg
+        x_new = x - f * math.exp(-logpdf)
+        if not (x_new > 0 and math.isfinite(x_new)):
+            x_new = x * 0.5
+        if abs(x_new - x) <= 1e-15 * x:
+            x = x_new
+            break
+        x = x_new
+    return x
+
+
+def chi2_ppf_np(p, df):
+    """Host float64 chi-square PPF — x64-flag-independent twin of
+    :func:`chi2_ppf` (matches it, and scipy, to ~1e-12 in f64; tested)."""
+    import numpy as np
+
+    fn = np.vectorize(lambda a, q: 2.0 * _gammaincinv_np_scalar(a / 2.0, q),
+                      otypes=[np.float64])
+    return fn(np.asarray(df, np.float64), np.asarray(p, np.float64))

@@ -279,7 +279,14 @@ def significance(
     )
 
     def _ppf(p, df):
-        return np.asarray(chi2_ppf(jnp.asarray(p, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32), df))
+        if not jax.config.jax_enable_x64:
+            # No-x64 (chip) processes: the jnp PPF computes in f32 (~3e-5
+            # drift); the API-level significance contract is f64 —
+            # use the host float64 twin (round 5).
+            from .ops.special import chi2_ppf_np
+
+            return chi2_ppf_np(p, np.asarray(df, np.float64))
+        return np.asarray(chi2_ppf(jnp.asarray(p, dtype=jnp.float64), df))
 
     if sigma_test == 0:
         dof = dofmin
@@ -294,7 +301,7 @@ def significance(
         # TC98 eq. 23.
         dof = dofmin * (1 + (dof * dt / gamma_fac / scales) ** 2) ** 0.5
         dof[dof < dofmin] = dofmin
-        chisquare = _ppf(significance_level, jnp.asarray(dof)) / dof
+        chisquare = _ppf(significance_level, dof) / dof
         signif = fft_theor * chisquare
     elif sigma_test == 2:
         if len(dof) != 2:

@@ -218,3 +218,33 @@ def test_ar1_batch_bad_row_is_nan():
     g, a, mu2 = ar1_batch(np.stack([trend, good]))
     assert np.isnan(g[0]) and np.isnan(a[0])
     assert np.isfinite(g[1])
+
+
+def test_chi2_ppf_np_matches_f64_device_ppf():
+    """The host float64 PPF twin (used by significance on no-x64 chip
+    processes) matches the jnp f64 PPF to ~1e-12."""
+    from pycwt_tpu.ops.special import chi2_ppf, chi2_ppf_np
+
+    ps = np.array([0.05, 0.5, 0.8646, 0.95, 0.99, 0.999])
+    for df in [0.5, 1.0, 2.0, 3.7, 10.0, 100.0]:
+        a = np.asarray(chi2_ppf(jnp.asarray(ps, jnp.float64), df))
+        b = chi2_ppf_np(ps, df)
+        np.testing.assert_allclose(b, a, rtol=1e-12)
+
+
+def test_significance_f64_without_x64():
+    """significance must return f64-exact results even when the process has
+    x64 DISABLED (the chip regime — measured 3e-5 f32 drift before the
+    round-5 host-PPF fix)."""
+    import jax
+
+    scales = np.array([0.5, 1.0, 2.0, 4.0, 8.0])
+    ref0, _ = wt.significance(1.0, 0.25, scales, 0, alpha=0.72)
+    ref1, _ = wt.significance(1.0, 0.25, scales, 1, alpha=0.72,
+                              dof=np.full(len(scales), 100.0))
+    with jax.enable_x64(False):
+        got0, _ = wt.significance(1.0, 0.25, scales, 0, alpha=0.72)
+        got1, _ = wt.significance(1.0, 0.25, scales, 1, alpha=0.72,
+                                  dof=np.full(len(scales), 100.0))
+    np.testing.assert_allclose(got0, ref0, rtol=1e-12)
+    np.testing.assert_allclose(got1, ref1, rtol=1e-12)
