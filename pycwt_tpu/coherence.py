@@ -78,8 +78,7 @@ def xwt(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
     Pk1 = ar1_spectrum(freq * dt, a1)
     Pk2 = ar1_spectrum(freq * dt, a2)
     dof = wavelet.dofmin
-    PPF = float(np.asarray(chi2_ppf(jnp.asarray(significance_level,
-                                                dtype=_host_float()), dof)))
+    PPF = _chi2_ppf_host(significance_level, dof)
     signif = std1 * std2 * (Pk1 * Pk2) ** 0.5 * PPF / dof
     return W12, coi, freq, signif
 
@@ -132,14 +131,24 @@ def xwt_planar(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
     Pk1 = ar1_spectrum(freq * dt, a1)
     Pk2 = ar1_spectrum(freq * dt, a2)
     dof = mother.dofmin
-    PPF = float(np.asarray(chi2_ppf(jnp.asarray(significance_level,
-                                                dtype=_host_float()), dof)))
+    PPF = _chi2_ppf_host(significance_level, dof)
     signif = std1 * std2 * (Pk1 * Pk2) ** 0.5 * PPF / dof
     return mag, phase, coi, freq, signif
 
 
 def _host_float():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _chi2_ppf_host(p: float, df) -> float:
+    """Host float64 chi-square PPF regardless of the x64 flag — the XWT/XWT-
+    pairs theoretical-significance scalar must not drop to f32 on chip
+    processes (same round-5 convention as stats.significance's _ppf)."""
+    if jax.config.jax_enable_x64:
+        return float(np.asarray(chi2_ppf(jnp.asarray(p, jnp.float64), df)))
+    from .ops.special import chi2_ppf_np
+
+    return float(chi2_ppf_np(p, df))
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj"))
@@ -387,8 +396,7 @@ def xwt_pairs(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
     if normalize:
         std1 = std2 = np.ones_like(std1)
     dof = mother.dofmin
-    PPF = float(np.asarray(chi2_ppf(jnp.asarray(significance_level,
-                                                dtype=_host_float()), dof)))
+    PPF = _chi2_ppf_host(significance_level, dof)
     # Per-pair AR(1) significance with NO host loop over B (VERDICT r3 #2):
     # the lag-covariance dots run as one batched device dispatch
     # (stats.ar1_batch); rows where ar1 would raise Warning come back NaN.
@@ -563,8 +571,7 @@ def xwt_pairs_planar(y1, y2, dt, dj=1 / 12, s0=-1, J=-1,
     if normalize:
         std1 = std2 = np.ones_like(std1)
     dof = mother.dofmin
-    PPF = float(np.asarray(chi2_ppf(jnp.asarray(significance_level,
-                                                dtype=_host_float()), dof)))
+    PPF = _chi2_ppf_host(significance_level, dof)
     a1, _, _ = ar1_batch(y1)
     a2, _, _ = ar1_batch(y2)
     Pk1 = ar1_spectrum(freqs[None, :] * dt, a1[:, None])
