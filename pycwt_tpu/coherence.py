@@ -141,14 +141,12 @@ def _host_float():
 
 
 def _chi2_ppf_host(p: float, df) -> float:
-    """Host float64 chi-square PPF regardless of the x64 flag — the XWT/XWT-
-    pairs theoretical-significance scalar must not drop to f32 on chip
-    processes (same round-5 convention as stats.significance's _ppf)."""
-    if jax.config.jax_enable_x64:
-        return float(np.asarray(chi2_ppf(jnp.asarray(p, jnp.float64), df)))
-    from .ops.special import chi2_ppf_np
+    """Host float64 chi-square PPF regardless of the x64 flag — the XWT
+    theoretical-significance scalar must not drop to f32 on chip processes
+    (one dispatch rule for the whole library: ops.special.chi2_ppf_host)."""
+    from .ops.special import chi2_ppf_host
 
-    return float(chi2_ppf_np(p, df))
+    return float(chi2_ppf_host(p, df))
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj"))
@@ -1012,6 +1010,34 @@ def _sig_cache_write(path: str, curve: np.ndarray,
     np.savetxt(path, curve, header=_sig_cfg_tag(config))
 
 
+def _auto_alpha_quant(mc_count: int) -> float:
+    """Default null-dedup quantization, matched to the ensemble's own
+    sampling noise (calibrated on the chip — see the
+    :func:`wct_significance_batch` docstring and BASELINE.md round 5):
+    ``clip(0.05·sqrt(300/mc_count), 0.01, 0.05)``."""
+    return float(np.clip(0.05 * np.sqrt(300.0 / max(mc_count, 1)),
+                         0.01, 0.05))
+
+
+def _canonical_null_key(a1: float, a2: float, q: float) -> tuple:
+    """Sorted, ``q``-rounded canonical key of an unordered coefficient pair
+    — the unit of Monte-Carlo null deduplication.  The TOP quantization
+    cell clamps to q/2 inside the stationarity boundary: |alpha| in
+    [1 − q/2, 1) would otherwise round to exactly ±1.0, where the AR(1)
+    burn-in diverges (−2/log(1) → inf) — and the |alpha| ≥ 1 input guard
+    runs on the PRE-quantization values (wct_matrix_analysis clips fits to
+    exactly ±0.99, which lands in this cell at q=0.05).  ``q=0`` shares
+    only exactly-equal sorted pairs."""
+    if not q:
+        return tuple(sorted((float(a1), float(a2))))
+
+    def _one(v):
+        v = round(v / q) * q
+        return float(np.sign(v) * min(abs(v), 1.0 - q / 2))
+
+    return tuple(sorted((_one(a1), _one(a2))))
+
+
 def _mc_auto_batch(mc_count: int, S: int, nfft: int, n: int,
                    budget_bytes: float = 5e9) -> int:
     """Largest Monte-Carlo chunk fitting a conservative HBM budget — so the
@@ -1375,11 +1401,11 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
             "explode); clip strong-trend fits inside (-1, 1) or use alpha=0")
     P = len(al1)
 
-    names = [_sig_cache_name(al1[p], al2[p], dj, s0, dt, J, mother,
-                             mc_count, seed, config) for p in range(P)]
     sig = np.full((P, J + 1), np.nan)
     have = np.zeros(P, dtype=bool)
     if cache:
+        names = [_sig_cache_name(al1[p], al2[p], dj, s0, dt, J, mother,
+                                 mc_count, seed, config) for p in range(P)]
         # Incremental read: every pair whose curve is already on disk is
         # served from it; only the MISSING nulls are computed below (round 4
         # recomputed the whole batch on any single miss).
@@ -1396,34 +1422,13 @@ def wct_significance_batch(al1, al2, dt, dj, s0, J, significance_level=0.95,
             return sig
 
     # Canonicalize the missing pairs to their distinct null keys (see
-    # docstring): sorted, alpha_quant-rounded coefficients.  The simulated
-    # coefficients ARE the quantized values, so a key's ensemble depends
-    # only on (key, seed, mc_count) — never on which pairs referenced it,
-    # in what order, or what was already cached.
+    # docstring).  The simulated coefficients ARE the quantized values, so
+    # a key's ensemble depends only on (key, seed, mc_count) — never on
+    # which pairs referenced it, in what order, or what was already cached.
     if alpha_quant is None:
-        # Auto rule (see docstring): quantization bias stays a fraction of
-        # the ensemble's own sampling noise, which shrinks as sqrt(1/m).
-        alpha_quant = float(np.clip(0.05 * np.sqrt(300.0 / max(mc_count, 1)),
-                                    0.01, 0.05))
-    if alpha_quant:
-        q = float(alpha_quant)
-
-        def _q(v):
-            # Round to the grid, then clamp the TOP cell to q/2 inside the
-            # stationarity boundary: |alpha| in [1 - q/2, 1) would round to
-            # exactly +-1.0, where the AR(1) burn-in diverges
-            # (-2/log(1) -> inf) — and the |alpha| >= 1 guard above ran on
-            # the PRE-quantization values.  The clamp keeps the simulated
-            # coefficient within the same q/2 of the true one as any other
-            # cell (round-5 review finding; wct_matrix_analysis clips fits
-            # to exactly +-0.99, which lands in this cell at q=0.05).
-            v = round(v / q) * q
-            return float(np.sign(v) * min(abs(v), 1.0 - q / 2))
-
-        canon = [tuple(sorted((_q(al1[p]), _q(al2[p])))) for p in range(P)]
-    else:
-        canon = [tuple(sorted((float(al1[p]), float(al2[p]))))
-                 for p in range(P)]
+        alpha_quant = _auto_alpha_quant(mc_count)
+    canon = [_canonical_null_key(al1[p], al2[p], alpha_quant)
+             for p in range(P)]
     key_index: dict = {}
     rep_a1: list = []
     rep_a2: list = []

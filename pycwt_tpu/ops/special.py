@@ -157,3 +157,18 @@ def chi2_ppf_np(p, df):
     fn = np.vectorize(lambda a, q: 2.0 * _gammaincinv_np_scalar(a / 2.0, q),
                       otypes=[np.float64])
     return fn(np.asarray(df, np.float64), np.asarray(p, np.float64))
+
+
+def chi2_ppf_host(p, df) -> float:
+    """Scalar chi-square PPF in guaranteed float64 on the HOST, regardless
+    of the process's x64 flag: jnp (f64) when x64 is on, the stdlib twin
+    otherwise.  The one dispatch rule for every API-level significance
+    scalar (stats.significance, coherence.xwt*)."""
+    import jax
+
+    if jax.config.jax_enable_x64:
+        import jax.numpy as jnp
+        import numpy as np
+
+        return np.asarray(chi2_ppf(jnp.asarray(p, jnp.float64), df))
+    return chi2_ppf_np(p, df)

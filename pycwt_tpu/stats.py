@@ -279,14 +279,11 @@ def significance(
     )
 
     def _ppf(p, df):
-        if not jax.config.jax_enable_x64:
-            # No-x64 (chip) processes: the jnp PPF computes in f32 (~3e-5
-            # drift); the API-level significance contract is f64 —
-            # use the host float64 twin (round 5).
-            from .ops.special import chi2_ppf_np
+        # Guaranteed-f64 host PPF regardless of the x64 flag (round 5): the
+        # API-level significance contract is f64 even on chip processes.
+        from .ops.special import chi2_ppf_host
 
-            return chi2_ppf_np(p, np.asarray(df, np.float64))
-        return np.asarray(chi2_ppf(jnp.asarray(p, dtype=jnp.float64), df))
+        return chi2_ppf_host(p, np.asarray(df, np.float64))
 
     if sigma_test == 0:
         dof = dofmin

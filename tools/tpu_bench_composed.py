@@ -84,11 +84,13 @@ def main():
     P = len(res["pairs"])
     out["pairs"] = P
 
-    # Distinct nulls under the default (auto) alpha_quant at mc_count=300.
+    # Distinct nulls under the default (auto) alpha_quant — computed with
+    # the library's OWN key rule so the count always matches what ran.
+    from pycwt_tpu.coherence import _auto_alpha_quant, _canonical_null_key
+
     g = res["alpha"]
-    q = 0.05
-    keys = {tuple(sorted((round(g[i] / q) * q, round(g[j] / q) * q)))
-            for i, j in res["pairs"]}
+    q = _auto_alpha_quant(300)
+    keys = {_canonical_null_key(g[i], g[j], q) for i, j in res["pairs"]}
     out["alpha_quant"] = q
     out["distinct_nulls"] = len(keys)
 
