@@ -125,3 +125,16 @@ def test_smooth_twofloat_matches_f64_smooth(golden):
                             dt, dj, jnp.asarray(scales), Morlet(6),
                             engine="xla"))
     assert rel_err(ours, ref) < 1e-11
+
+
+def test_icwt_of_twofloat_w_reconstructs(golden):
+    """Full-circle parity mode: icwt (host f64 math, api.py) applied to the
+    two-float W matches the reference's reconstruction — the inverse needs
+    no two-float arithmetic of its own."""
+    import pycwt_tpu as wt
+
+    g = golden("cwt_nino3_morlet6")
+    W, sj, fr, coi = tf.cwt_twofloat(g["signal"], float(g["dt"]))
+    iw = wt.icwt(W, sj, float(g["dt"]), dj=1 / 12, wavelet="morlet")
+    ref = np.asarray(g["icwt"])
+    assert np.abs(iw - ref).max() < 1e-10 * max(1.0, np.abs(ref).max())
