@@ -204,3 +204,45 @@ def test_overlap_planar_short_signal_passthrough():
     got = np.asarray(wr) + 1j * np.asarray(wi)
     assert got.shape == W_ref.shape  # trimmed to N like the complex surface
     assert np.abs(got - W_ref).max() < 2e-5 * np.abs(W_ref).max()
+
+
+def test_wct_overlap_planar_matches_global_core():
+    """Blocked long-signal COHERENCE (round 5): each chunk's interior WCT
+    equals the global planar coherence core to f32 round-off for s >= 4dt
+    (the composed wavelet+smoothing halo contract)."""
+    from pycwt_tpu.coherence import _wct_core
+    from pycwt_tpu.ops.overlap import halo_samples, wct_overlap_planar
+
+    rng = np.random.default_rng(21)
+    N = 4096
+    y1 = rng.standard_normal(N)
+    y2 = 0.5 * y1 + rng.standard_normal(N)
+    scales = jnp.asarray([8.0, 16.0, 32.0], jnp.float32)
+    dj = 0.5
+    R, A = wct_overlap_planar(y1, y2, scales, 1.0, mother=wt.Morlet(6),
+                              dj=dj, chunk=1024)
+    assert R.shape == (3, N)
+
+    y1n = (y1 - y1.mean()) / y1.std()
+    y2n = (y2 - y2.mean()) / y2.std()
+    Rg, Ag, _ = _wct_core(
+        jnp.asarray(y1n, jnp.float32)[None], jnp.asarray(y2n, jnp.float32)[None],
+        scales, 1.0, mother=wt.Morlet(6), nfft=N, dj=dj, engine="planar")
+    Rg, Ag = np.asarray(Rg[0]), np.asarray(Ag[0])
+    H = 2 * halo_samples(32.0, 1.0)
+    sl = slice(H, N - H)
+    np.testing.assert_allclose(np.asarray(R)[:, sl], Rg[:, sl],
+                               rtol=0, atol=2e-4)
+    dphi = np.angle(np.exp(1j * (np.asarray(A)[:, sl] - Ag[:, sl])))
+    # Phase compared where coherence is meaningful (angle of a near-zero
+    # cross spectrum is noise in any formulation).
+    m = Rg[:, sl] > 0.2
+    assert np.abs(dphi[m]).max() < 2e-3
+
+
+def test_wct_overlap_planar_validates_inputs():
+    from pycwt_tpu.ops.overlap import wct_overlap_planar
+
+    with pytest.raises(ValueError, match="matching 1-D"):
+        wct_overlap_planar(np.zeros(100), np.zeros(50), jnp.asarray([8.0]),
+                           1.0, mother=wt.Morlet(6), dj=0.5)

@@ -39,7 +39,7 @@ sys.path.insert(0, ROOT)
 S = 64
 DT = 1.0
 SURFACES = ("cwt_overlap_save_planar", "streamed_global_power_planar",
-            "sharded_cwt_spectral_planar")
+            "sharded_cwt_spectral_planar", "wct_overlap_planar")
 
 
 def _scales():
@@ -95,6 +95,15 @@ def child(surface: str, p: int):
 
     if surface == "cwt_overlap_save_planar":
         fn = lambda: cwt_overlap_save_planar(x, scales, DT, mother=mother)
+        fetch = lambda o: np.asarray(o[0][0, :8])
+    elif surface == "wct_overlap_planar":
+        from pycwt_tpu.ops.overlap import wct_overlap_planar
+
+        x2 = jnp.asarray(
+            0.5 * np.asarray(x) + np.asarray(
+                rng.standard_normal(N), np.float32))
+        fn = lambda: wct_overlap_planar(x, x2, scales, DT, mother=mother,
+                                        dj=0.125)
         fetch = lambda o: np.asarray(o[0][0, :8])
     elif surface == "streamed_global_power_planar":
         fn = lambda: streamed_global_power_planar(x, scales, DT,
