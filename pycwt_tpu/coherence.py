@@ -149,9 +149,10 @@ def _chi2_ppf_host(p: float, df) -> float:
     return float(chi2_ppf_host(p, df))
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj"))
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj",
+                                             "smooth_precision"))
 def _wct_core_planar(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
-                     dj: float):
+                     dj: float, smooth_precision: str | None = None):
     """:func:`_wct_core` with NO complex dtype anywhere: planar forward DFT →
     fused planar Pallas CWT → per-plane real smoothing → real coherence and
     arctan2 phase.  The runtime-resilience path for backends whose complex64
@@ -196,21 +197,30 @@ def _wct_core_planar(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
     # Two plane-packed smoothing calls instead of four single-plane ones
     # (ops.smoothing.smooth_planar_pair): same math by linearity, 2/3 the
     # stage einsums.
+    # smooth_precision: None -> HIGHEST (user-facing parity default);
+    # "high" -> 3-pass einsums, 1.34x faster on the smoothing stage alone at
+    # ~2e-4 absolute — safe where the consumer quantizes coarser (the MC
+    # histogram's 1e-3 bins), which is why the MC chunks opt in.  Measured
+    # end-to-end MC effect is small (~3%: the fused chunk is bound by the
+    # CWTs/histogram, tools/tpu_smooth_precision_experiment.py round 5);
+    # kept because it is free and the tier choice is now explicit.
+    sp = jax.lax.Precision.HIGH if smooth_precision == "high" else None
     S1, S2 = smooth_planar_pair((w1r ** 2 + w1i ** 2) / s_col,
                                 (w2r ** 2 + w2i ** 2) / s_col,
-                                dt, dj, scales, mother)
+                                dt, dj, scales, mother, precision=sp)
     w12r = w1r * w2r + w1i * w2i          # W1 · conj(W2), planar
     w12i = w1i * w2r - w1r * w2i
     S12r, S12i = smooth_planar_pair(w12r / s_col, w12i / s_col,
-                                    dt, dj, scales, mother)
+                                    dt, dj, scales, mother, precision=sp)
     WCT = (S12r ** 2 + S12i ** 2) / (S1 * S2)
     aWCT = jnp.arctan2(w12i, w12r)
     return WCT, aWCT, (w12r, w12i)
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj", "engine"))
+@functools.partial(jax.jit, static_argnames=("dt", "mother", "nfft", "dj",
+                                             "engine", "smooth_precision"))
 def _wct_core(y1n, y2n, scales, dt, *, mother: Mother, nfft: int, dj: float,
-              engine: str | None = None):
+              engine: str | None = None, smooth_precision: str | None = None):
     """Jitted WCT pipeline on normalized batched inputs ``(B, n0)``.
 
     Implements reference ``wavelet.py:499-514``: two CWTs, three smoothings of
@@ -236,7 +246,8 @@ def _wct_core(y1n, y2n, scales, dt, *, mother: Mother, nfft: int, dj: float,
                 stacklevel=2,
             )
         return _wct_core_planar(y1n, y2n, scales, dt, mother=mother,
-                                nfft=nfft, dj=dj)
+                                nfft=nfft, dj=dj,
+                                smooth_precision=smooth_precision)
     W1, _ = cwt_batch(y1n, scales, dt, mother=mother, nfft=nfft, engine=engine)
     W2, _ = cwt_batch(y2n, scales, dt, mother=mother, nfft=nfft, engine=engine)
     s_col = scales[:, None]
@@ -857,7 +868,7 @@ def _mc_histogram_chunk(key, start, scales, outsidecoi, dt, *, mother: Mother,
     noise1 = rednoise_members(k1, idx, n, al1, 1.0, dtype=dtype)
     noise2 = rednoise_members(k2, idx, n, al2, 1.0, dtype=dtype)
     R2, _, _ = _wct_core(noise1, noise2, scales, dt, mother=mother, nfft=nfft,
-                         dj=dj, engine=engine)
+                         dj=dj, engine=engine, smooth_precision="high")
     # Bin the coherence values outside the COI, exactly floor(R2·nbins)
     # (wavelet.py:628), clipped for safety at R2 >= 1.
     bins = jnp.clip(jnp.floor(R2 * NBINS).astype(jnp.int32), 0, NBINS - 1)
@@ -1293,7 +1304,7 @@ def _mc_histogram_run_pairs(key, scales, outsidecoi, slots, g1, g2, mc_count,
         R2, _, _ = _wct_core(noise1.reshape(P * batch, n),
                              noise2.reshape(P * batch, n),
                              scales, dt, mother=mother, nfft=nfft, dj=dj,
-                             engine=engine)
+                             engine=engine, smooth_precision="high")
         bins = jnp.clip(jnp.floor(R2 * NBINS).astype(jnp.int32), 0, NBINS - 1)
         bins = bins.reshape(P, batch, S, n)
         # Factored one-hot MXU histogram per pair (see _mc_histogram_chunk).
