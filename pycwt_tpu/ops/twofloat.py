@@ -277,11 +277,13 @@ def _filter_bank_f64(mother: Mother, scales: np.ndarray, nfft: int,
 @functools.partial(jax.jit, static_argnames=("nfft",))
 def _cwt_df_device(xh, xl, brh, brl, bih, bil, *, nfft: int):
     """Device part of the two-float CWT: forward FFT of the (padded) real
-    signal → two-float multiply by the f64-split complex bank → inverse FFT
-    rows.  Returns the planar two-float W at full nfft length."""
+    signal(s) → two-float multiply by the f64-split complex bank → inverse
+    FFT rows.  ``xh/xl`` may carry leading batch dims (``(..., nfft)``);
+    returns the planar two-float W at full nfft length, ``(..., S, nfft)``."""
     z = jnp.zeros_like(xh)
     Xr_h, Xr_l, Xi_h, Xi_l = fft_df(xh, xl, z, z, nfft, sign=-1)
-    spec = (Xr_h[None, :], Xr_l[None, :], Xi_h[None, :], Xi_l[None, :])
+    spec = (Xr_h[..., None, :], Xr_l[..., None, :],
+            Xi_h[..., None, :], Xi_l[..., None, :])
     prod = _cdf_mul(spec, (brh, brl, bih, bil))
     wr_h, wr_l, wi_h, wi_l = fft_df(*prod, nfft, sign=+1)
     inv = np.float32(1.0 / nfft)  # power of two: exact componentwise scale
@@ -290,6 +292,9 @@ def _cwt_df_device(xh, xl, brh, brl, bih, bil, *, nfft: int):
 
 def cwt_twofloat(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
     """Forward CWT in chip-side two-float precision — the opt-in parity mode.
+
+    Accepts a 1-D signal or a ``(B, n0)`` batch (one device dispatch; W
+    comes back ``(B, S, n0)``).
 
     Same grid/COI/NaN-row semantics as :func:`pycwt_tpu.api.cwt` (reference
     ``wavelet.py:13-124``); heavy stages run on the device in (hi, lo) f32
@@ -305,9 +310,11 @@ def cwt_twofloat(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
 
     mother = as_mother(wavelet)
     y = np.asarray(y, np.float64)
-    if y.ndim != 1:
-        raise ValueError(f"cwt_twofloat expects a 1-D signal, got {y.shape}")
-    n0 = y.shape[0]
+    if y.ndim not in (1, 2):
+        raise ValueError(
+            f"cwt_twofloat expects a 1-D signal or a (B, n0) batch, got "
+            f"{y.shape}")
+    n0 = y.shape[-1]
     nfft = next_pow2(n0)
     if freqs is None:
         grid = build_scale_grid(n0, dt, dj=dj, s0=s0, J=J, mother=mother)
@@ -318,8 +325,8 @@ def cwt_twofloat(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
     sj, fr = drop_reference_nan_rows(mother, sj, fr, nfft, dt)
 
     bank = _filter_bank_f64(mother, sj, nfft, dt)
-    x = np.zeros(nfft, np.float64)
-    x[:n0] = y
+    x = np.zeros(y.shape[:-1] + (nfft,), np.float64)
+    x[..., :n0] = y
     xh, xl = df_from_f64(x)
     brh, brl = df_from_f64(bank.real)
     bih, bil = df_from_f64(bank.imag)
@@ -327,7 +334,7 @@ def cwt_twofloat(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
         jnp.asarray(xh), jnp.asarray(xl), jnp.asarray(brh), jnp.asarray(brl),
         jnp.asarray(bih), jnp.asarray(bil), nfft=nfft)
     W = (df_to_f64(np.asarray(wr_h), np.asarray(wr_l))
-         + 1j * df_to_f64(np.asarray(wi_h), np.asarray(wi_l)))[:, :n0]
+         + 1j * df_to_f64(np.asarray(wi_h), np.asarray(wi_l)))[..., :n0]
     return W, sj, fr, coi_bartlett(n0, dt, mother)
 
 

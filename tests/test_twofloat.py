@@ -138,3 +138,15 @@ def test_icwt_of_twofloat_w_reconstructs(golden):
     iw = wt.icwt(W, sj, float(g["dt"]), dj=1 / 12, wavelet="morlet")
     ref = np.asarray(g["icwt"])
     assert np.abs(iw - ref).max() < 1e-10 * max(1.0, np.abs(ref).max())
+
+
+def test_cwt_twofloat_batched_matches_per_signal(golden):
+    """A (B, n0) batch runs in one dispatch and equals per-signal calls."""
+    g = golden("cwt_nino3_morlet6")
+    y = np.asarray(g["signal"], np.float64)
+    batch = np.stack([y, 0.5 * y - 1.0])
+    Wb, sj, fr, coi = tf.cwt_twofloat(batch, float(g["dt"]))
+    assert Wb.shape == (2,) + g["W"].shape
+    for b in range(2):
+        W1, *_ = tf.cwt_twofloat(batch[b], float(g["dt"]))
+        np.testing.assert_allclose(Wb[b], W1, rtol=0, atol=1e-13)
