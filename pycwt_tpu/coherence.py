@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from .config import CWTConfig, DEFAULT
 from .mothers import Mother, as_mother
 from .ops.smoothing import smooth, smooth_planar_pair, smooth_planar_real
-from .ops.special import chi2_ppf
 from .stats import (ar1, ar1_batch, ar1_spectrum, rednoise_members,
                     rednoise_members_pairs)
 from .transform import (build_scale_grid, coi_bartlett, cwt_batch,
@@ -136,10 +135,6 @@ def xwt_planar(y1, y2, dt, dj=1 / 12, s0=-1, J=-1, significance_level=0.95,
     return mag, phase, coi, freq, signif
 
 
-def _host_float():
-    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-
-
 def _chi2_ppf_host(p: float, df) -> float:
     """Host float64 chi-square PPF regardless of the x64 flag — the XWT
     theoretical-significance scalar must not drop to f32 on chip processes
@@ -197,13 +192,16 @@ def _wct_core_planar(y1n, y2n, scales, dt, *, mother: Mother, nfft: int,
     # Two plane-packed smoothing calls instead of four single-plane ones
     # (ops.smoothing.smooth_planar_pair): same math by linearity, 2/3 the
     # stage einsums.
-    # smooth_precision: None -> HIGHEST (user-facing parity default);
-    # "high" -> 3-pass einsums, 1.34x faster on the smoothing stage alone at
-    # ~2e-4 absolute — safe where the consumer quantizes coarser (the MC
-    # histogram's 1e-3 bins), which is why the MC chunks opt in.  Measured
-    # end-to-end MC effect is small (~3%: the fused chunk is bound by the
-    # CWTs/histogram, tools/tpu_smooth_precision_experiment.py round 5);
-    # kept because it is free and the tier choice is now explicit.
+    # smooth_precision: None -> HIGHEST (the parity default everywhere);
+    # "high" -> 3-pass einsums, 1.34x faster on the smoothing stage at
+    # ~2e-4 absolute.  HONORED ON THIS PLANAR PATH ONLY (the complex
+    # engines' smooth() stays HIGHEST).  The MC chunks deliberately do NOT
+    # opt in: the end-to-end gain measured ~3% (the fused chunk is bound by
+    # the CWTs/histogram, tools/tpu_smooth_precision_experiment.py) while
+    # the tier would have to be folded into the curve cache tag, the
+    # checkpoint fingerprint, AND the mc-sharded path to keep the library's
+    # bit-determinism contracts — not worth it.  wct_overlap_planar exposes
+    # the knob to users (1.56x there; uncached outputs).
     sp = jax.lax.Precision.HIGH if smooth_precision == "high" else None
     S1, S2 = smooth_planar_pair((w1r ** 2 + w1i ** 2) / s_col,
                                 (w2r ** 2 + w2i ** 2) / s_col,
@@ -868,7 +866,7 @@ def _mc_histogram_chunk(key, start, scales, outsidecoi, dt, *, mother: Mother,
     noise1 = rednoise_members(k1, idx, n, al1, 1.0, dtype=dtype)
     noise2 = rednoise_members(k2, idx, n, al2, 1.0, dtype=dtype)
     R2, _, _ = _wct_core(noise1, noise2, scales, dt, mother=mother, nfft=nfft,
-                         dj=dj, engine=engine, smooth_precision="high")
+                         dj=dj, engine=engine)
     # Bin the coherence values outside the COI, exactly floor(R2·nbins)
     # (wavelet.py:628), clipped for safety at R2 >= 1.
     bins = jnp.clip(jnp.floor(R2 * NBINS).astype(jnp.int32), 0, NBINS - 1)
@@ -1304,7 +1302,7 @@ def _mc_histogram_run_pairs(key, scales, outsidecoi, slots, g1, g2, mc_count,
         R2, _, _ = _wct_core(noise1.reshape(P * batch, n),
                              noise2.reshape(P * batch, n),
                              scales, dt, mother=mother, nfft=nfft, dj=dj,
-                             engine=engine, smooth_precision="high")
+                             engine=engine)
         bins = jnp.clip(jnp.floor(R2 * NBINS).astype(jnp.int32), 0, NBINS - 1)
         bins = bins.reshape(P, batch, S, n)
         # Factored one-hot MXU histogram per pair (see _mc_histogram_chunk).

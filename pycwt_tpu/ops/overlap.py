@@ -528,8 +528,11 @@ def wct_overlap_planar(y1, y2, scales, dt: float, *, mother: Mother,
     _warn_near_nyquist(scales, dt, mother)
     if chunk <= 0:
         raise ValueError("chunk must be positive")
-    y1 = np.asarray(y1, np.float32)
-    y2 = np.asarray(y2, np.float32)
+    # Keep the signals on DEVICE (jnp) end-to-end: at long N the host
+    # round-trip is seconds over slow links (BASELINE.md round-5 fetch
+    # measurements) and normalization is two trivial device reductions.
+    y1 = jnp.asarray(y1, jnp.float32)
+    y2 = jnp.asarray(y2, jnp.float32)
     if y1.shape != y2.shape or y1.ndim != 1:
         raise ValueError(
             f"wct_overlap_planar expects matching 1-D signals, got "
@@ -537,8 +540,8 @@ def wct_overlap_planar(y1, y2, scales, dt: float, *, mother: Mother,
     if normalize:
         y1 = (y1 - y1.mean()) / y1.std()
         y2 = (y2 - y2.mean()) / y2.std()
-    p1, N, n_chunks = _pad_for_chunks(jnp.asarray(y1), chunk, H)
-    p2, _, _ = _pad_for_chunks(jnp.asarray(y2), chunk, H)
+    p1, N, n_chunks = _pad_for_chunks(y1, chunk, H)
+    p2, _, _ = _pad_for_chunks(y2, chunk, H)
     nfft = next_pow2(chunk + 2 * H)
     step = _wct_overlap_step_fn(mother, float(dt), float(dj), nfft, chunk,
                                 H, precision, smooth_precision)

@@ -159,8 +159,9 @@ def chi2_ppf_np(p, df):
     return fn(np.asarray(df, np.float64), np.asarray(p, np.float64))
 
 
-def chi2_ppf_host(p, df) -> float:
-    """Scalar chi-square PPF in guaranteed float64 on the HOST, regardless
+def chi2_ppf_host(p, df):
+    """Chi-square PPF (scalar or elementwise over arrays) in guaranteed
+    float64 on the HOST, regardless
     of the process's x64 flag: jnp (f64) when x64 is on, the stdlib twin
     otherwise.  The one dispatch rule for every API-level significance
     scalar (stats.significance, coherence.xwt*)."""

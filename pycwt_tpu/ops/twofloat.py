@@ -290,11 +290,15 @@ def _cwt_df_device(xh, xl, brh, brl, bih, bil, *, nfft: int):
     return wr_h * inv, wr_l * inv, wi_h * inv, wi_l * inv
 
 
-def cwt_twofloat(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
+def cwt_twofloat(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None,
+                 max_bytes: float = 12e9):
     """Forward CWT in chip-side two-float precision — the opt-in parity mode.
 
     Accepts a 1-D signal or a ``(B, n0)`` batch (one device dispatch; W
-    comes back ``(B, S, n0)``).
+    comes back ``(B, S, n0)``).  A batch whose two-float planes (~4 live
+    sets of 4 × (B, S, nfft) f32 across the dispatch's stages) exceed
+    ``max_bytes`` raises host-side with the split-the-batch remedy instead
+    of OOMing opaquely — same convention as ``wct_matrix``.
 
     Same grid/COI/NaN-row semantics as :func:`pycwt_tpu.api.cwt` (reference
     ``wavelet.py:13-124``); heavy stages run on the device in (hi, lo) f32
@@ -324,6 +328,15 @@ def cwt_twofloat(y, dt, dj=1 / 12, s0=-1, J=-1, wavelet="morlet", freqs=None):
         sj = 1.0 / (mother.flambda() * fr)
     sj, fr = drop_reference_nan_rows(mother, sj, fr, nfft, dt)
 
+    B = y.shape[0] if y.ndim == 2 else 1
+    resident = 16 * B * len(sj) * nfft * 4
+    if resident > max_bytes:
+        raise ValueError(
+            f"cwt_twofloat batch needs ~{resident / 1e9:.1f} GB of two-float "
+            f"planes for B={B} x {len(sj)} scales x nfft={nfft}, over "
+            f"max_bytes={max_bytes / 1e9:.1f} GB. Split the batch into "
+            f"smaller chunks (results are independent per signal) or raise "
+            f"max_bytes on larger devices.")
     bank = _filter_bank_f64(mother, sj, nfft, dt)
     x = np.zeros(y.shape[:-1] + (nfft,), np.float64)
     x[..., :n0] = y

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from .mothers import as_mother
-from .ops.special import chi2_ppf
 from .utils.helpers import find
 
 __all__ = ["ar1", "ar1_batch", "ar1_spectrum", "rednoise", "rednoise_batch",

@@ -150,3 +150,10 @@ def test_cwt_twofloat_batched_matches_per_signal(golden):
     for b in range(2):
         W1, *_ = tf.cwt_twofloat(batch[b], float(g["dt"]))
         np.testing.assert_allclose(Wb[b], W1, rtol=0, atol=1e-13)
+
+
+def test_cwt_twofloat_batch_resident_guard():
+    """An oversized parity batch fails fast host-side (same convention as
+    wct_matrix) instead of OOMing opaquely."""
+    with pytest.raises(ValueError, match="Split the batch"):
+        tf.cwt_twofloat(np.zeros((64, 2048)), 1.0, max_bytes=1e6)
