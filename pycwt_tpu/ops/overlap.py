@@ -70,6 +70,7 @@ __all__ = [
     "streamed_global_power_planar",
     "sharded_cwt_overlap_save",
     "wct_overlap_planar",
+    "sharded_wct_overlap_planar",
 ]
 
 
@@ -551,3 +552,115 @@ def wct_overlap_planar(y1, y2, scales, dt: float, *, mother: Mother,
     for i in range(n_chunks):
         cR, cA = step(cR, cA, p1, p2, scales, jnp.int32(i))
     return cR[:, :N], cA[:, :N]
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_wct_overlap_fn(mesh, mother, dt, dj, nfft, chunk, H, n_dev,
+                            n_chunks, N_loc, S, precision, smooth_precision,
+                            axis_name):
+    from .smoothing import smooth_planar_pair
+
+    def shard_fn(pair_loc, sj):
+        # pair_loc: (2, N_loc) — both signals' local slabs; ONE halo
+        # exchange per direction covers the pair.
+        left = jax.lax.ppermute(
+            pair_loc[:, -H:], axis_name,
+            [(i, i + 1) for i in range(n_dev - 1)])
+        right = jax.lax.ppermute(
+            pair_loc[:, :H], axis_name,
+            [(i + 1, i) for i in range(n_dev - 1)])
+        padded = jnp.concatenate([left, pair_loc, right], axis=-1)
+
+        sp = (jax.lax.Precision.HIGH if smooth_precision == "high"
+              else None)
+
+        def body(carry, i):
+            cR, cA = carry
+            slab = jax.lax.dynamic_slice(padded, (0, i * chunk),
+                                         (2, chunk + 2 * H))
+            w1r, w1i = _planar_chunk_transform(slab[0], sj, mother, nfft,
+                                               dt, precision, "planes")
+            w2r, w2i = _planar_chunk_transform(slab[1], sj, mother, nfft,
+                                               dt, precision, "planes")
+            s_col = sj[:, None]
+            S1, S2 = smooth_planar_pair((w1r ** 2 + w1i ** 2) / s_col,
+                                        (w2r ** 2 + w2i ** 2) / s_col,
+                                        dt, dj, sj, mother, precision=sp)
+            w12r = w1r * w2r + w1i * w2i
+            w12i = w1i * w2r - w1r * w2i
+            S12r, S12i = smooth_planar_pair(w12r / s_col, w12i / s_col,
+                                            dt, dj, sj, mother, precision=sp)
+            R = (S12r ** 2 + S12i ** 2) / (S1 * S2)
+            A = jnp.arctan2(w12i, w12r)
+            cR = jax.lax.dynamic_update_slice(cR, R[:, H:H + chunk],
+                                              (0, i * chunk))
+            cA = jax.lax.dynamic_update_slice(cA, A[:, H:H + chunk],
+                                              (0, i * chunk))
+            return (cR, cA), None
+
+        z = jnp.zeros((S, N_loc), jnp.float32)
+        (cR, cA), _ = jax.lax.scan(body, (z, z), jnp.arange(n_chunks))
+        return cR, cA
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis_name), P()),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_vma=False,  # ppermute halo is deliberately position-dependent
+    )
+    return jax.jit(fn)
+
+
+def sharded_wct_overlap_planar(mesh: Mesh, y1, y2, scales, dt: float, *,
+                               mother: Mother, dj: float,
+                               chunk: int = 1 << 16, eps: float = 1e-7,
+                               precision: str = "high",
+                               smooth_precision: str | None = None,
+                               normalize: bool = True,
+                               axis_name: str = "data"):
+    """Time-axis-SHARDED blocked coherence: :func:`wct_overlap_planar` with
+    the pair's time axis distributed over the mesh — sequence parallelism
+    for coherence, completing the P3 symmetry (the CWT has had
+    :func:`sharded_cwt_overlap_save` since round 2).
+
+    Each device owns contiguous slabs of BOTH signals, exchanges the
+    composed wavelet⊗smoothing halo (``2·ζ·s_max``) with its neighbors via
+    one ``ppermute`` per direction (stacked pair — the global edges receive
+    zeros, matching the global zero-pad), and scans its local chunks with
+    no further communication.  Outputs come back ``(S, N)`` time-sharded
+    ``P(None, axis_name)``; the full coherence map never exists on one
+    device.  Bit-matches the single-device :func:`wct_overlap_planar` on
+    every shard (pinned in ``tests/test_overlap.py``).
+    """
+    scales_j = jnp.asarray(scales, jnp.float32)
+    smax = float(np.max(np.asarray(scales)))
+    H = 2 * halo_samples(smax, dt, eps)
+    _warn_near_nyquist(scales_j, dt, mother)
+    y1 = jnp.asarray(y1, jnp.float32)
+    y2 = jnp.asarray(y2, jnp.float32)
+    if y1.shape != y2.shape or y1.ndim != 1:
+        raise ValueError(
+            f"sharded_wct_overlap_planar expects matching 1-D signals, got "
+            f"{y1.shape} vs {y2.shape}")
+    if normalize:
+        y1 = (y1 - y1.mean()) / y1.std()
+        y2 = (y2 - y2.mean()) / y2.std()
+    N = y1.shape[-1]
+    n_dev = mesh.shape[axis_name]
+    if N % n_dev:
+        raise ValueError(f"N={N} not divisible by {n_dev} devices")
+    N_loc = N // n_dev
+    if N_loc % chunk:
+        raise ValueError(f"local slab {N_loc} not a multiple of chunk {chunk}")
+    if H > N_loc:
+        raise ValueError(f"halo {H} exceeds local slab {N_loc}; "
+                         "use fewer shards or a larger slab")
+    nfft = next_pow2(chunk + 2 * H)
+    fn = _sharded_wct_overlap_fn(mesh, mother, float(dt), float(dj), nfft,
+                                 chunk, H, n_dev, N_loc // chunk, N_loc,
+                                 scales_j.shape[0], precision,
+                                 smooth_precision, axis_name)
+    pair = jax.device_put(jnp.stack([y1, y2]),
+                          NamedSharding(mesh, P(None, axis_name)))
+    return fn(pair, scales_j)

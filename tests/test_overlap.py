@@ -246,3 +246,48 @@ def test_wct_overlap_planar_validates_inputs():
     with pytest.raises(ValueError, match="matching 1-D"):
         wct_overlap_planar(np.zeros(100), np.zeros(50), jnp.asarray([8.0]),
                            1.0, mother=wt.Morlet(6), dj=0.5)
+
+
+def test_sharded_wct_overlap_matches_single_device():
+    """Time-sharded blocked coherence: every shard of the 8-device run
+    equals the single-device wct_overlap_planar (P3 symmetry — the
+    sequence-parallel coherence surface, round 5)."""
+    from pycwt_tpu.ops.overlap import (sharded_wct_overlap_planar,
+                                       wct_overlap_planar)
+    from pycwt_tpu.parallel import MeshSpec, make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(31)
+    N = 8 * 1024
+    y1 = rng.standard_normal(N).astype(np.float32)
+    y2 = (0.5 * y1 + rng.standard_normal(N)).astype(np.float32)
+    scales = jnp.asarray([8.0, 16.0, 32.0], jnp.float32)
+    mesh = make_mesh(MeshSpec(data=8))
+    Rs, As = sharded_wct_overlap_planar(mesh, y1, y2, scales, 1.0,
+                                        mother=wt.Morlet(6), dj=0.5,
+                                        chunk=1024)
+    R1, A1 = wct_overlap_planar(y1, y2, scales, 1.0, mother=wt.Morlet(6),
+                                dj=0.5, chunk=1024)
+    np.testing.assert_allclose(np.asarray(Rs), np.asarray(R1), rtol=0,
+                               atol=1e-5)
+    dphi = np.angle(np.exp(1j * (np.asarray(As) - np.asarray(A1))))
+    m = np.asarray(R1) > 0.2
+    assert np.abs(dphi[m]).max() < 1e-4
+
+
+def test_sharded_wct_overlap_validates():
+    from pycwt_tpu.ops.overlap import sharded_wct_overlap_planar
+    from pycwt_tpu.parallel import MeshSpec, make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshSpec(data=8))
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_wct_overlap_planar(mesh, np.zeros(1001), np.zeros(1001),
+                                   jnp.asarray([8.0]), 1.0,
+                                   mother=wt.Morlet(6), dj=0.5)
