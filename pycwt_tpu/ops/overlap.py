@@ -455,34 +455,45 @@ def streamed_global_power_planar(signal, scales, dt: float, *,
     return run(padded, scales)
 
 
+def _wct_chunk_pipeline(slab1, slab2, scales, mother, nfft, dt, dj,
+                        precision, smooth_precision):
+    """The blocked-coherence chunk math, shared VERBATIM by the
+    single-device and mesh-sharded surfaces (a fix landing in only one
+    would silently break their pinned agreement): two planar chunk CWTs →
+    plane-packed smoothing → coherence ratio + phase."""
+    from .smoothing import smooth_planar_pair
+
+    w1r, w1i = _planar_chunk_transform(slab1, scales, mother, nfft, dt,
+                                       precision, "planes")
+    w2r, w2i = _planar_chunk_transform(slab2, scales, mother, nfft, dt,
+                                       precision, "planes")
+    s_col = scales[:, None]
+    sp = jax.lax.Precision.HIGH if smooth_precision == "high" else None
+    S1, S2 = smooth_planar_pair((w1r ** 2 + w1i ** 2) / s_col,
+                                (w2r ** 2 + w2i ** 2) / s_col,
+                                dt, dj, scales, mother, precision=sp)
+    w12r = w1r * w2r + w1i * w2i
+    w12i = w1i * w2r - w1r * w2i
+    S12r, S12i = smooth_planar_pair(w12r / s_col, w12i / s_col,
+                                    dt, dj, scales, mother, precision=sp)
+    R = (S12r ** 2 + S12i ** 2) / (S1 * S2)
+    A = jnp.arctan2(w12i, w12r)
+    return R, A
+
+
 @functools.lru_cache(maxsize=32)
 def _wct_overlap_step_fn(mother, dt, dj, nfft, chunk, H, precision,
                          smooth_precision):
-    """One donated-buffer chunk of the blocked coherence pipeline: two
-    planar chunk CWTs → plane-packed smoothing → coherence ratio → write
-    the interior into the (S, N) output planes in place."""
-    from .smoothing import smooth_planar_pair
+    """One donated-buffer chunk of the blocked coherence pipeline —
+    :func:`_wct_chunk_pipeline` + in-place interior writes."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(cR, cA, p1, p2, scales, i):
         L = chunk + 2 * H
         slab1 = jax.lax.dynamic_slice(p1, (i * chunk,), (L,))
         slab2 = jax.lax.dynamic_slice(p2, (i * chunk,), (L,))
-        w1r, w1i = _planar_chunk_transform(slab1, scales, mother, nfft, dt,
-                                           precision, "planes")
-        w2r, w2i = _planar_chunk_transform(slab2, scales, mother, nfft, dt,
-                                           precision, "planes")
-        s_col = scales[:, None]
-        sp = jax.lax.Precision.HIGH if smooth_precision == "high" else None
-        S1, S2 = smooth_planar_pair((w1r ** 2 + w1i ** 2) / s_col,
-                                    (w2r ** 2 + w2i ** 2) / s_col,
-                                    dt, dj, scales, mother, precision=sp)
-        w12r = w1r * w2r + w1i * w2i
-        w12i = w1i * w2r - w1r * w2i
-        S12r, S12i = smooth_planar_pair(w12r / s_col, w12i / s_col,
-                                        dt, dj, scales, mother, precision=sp)
-        R = (S12r ** 2 + S12i ** 2) / (S1 * S2)
-        A = jnp.arctan2(w12i, w12r)
+        R, A = _wct_chunk_pipeline(slab1, slab2, scales, mother, nfft, dt,
+                                   dj, precision, smooth_precision)
         z = jnp.zeros((), i.dtype)
         cR = jax.lax.dynamic_update_slice(cR, R[:, H:H + chunk],
                                           (z, i * chunk))
@@ -555,61 +566,57 @@ def wct_overlap_planar(y1, y2, scales, dt: float, *, mother: Mother,
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_wct_overlap_fn(mesh, mother, dt, dj, nfft, chunk, H, n_dev,
-                            n_chunks, N_loc, S, precision, smooth_precision,
-                            axis_name):
-    from .smoothing import smooth_planar_pair
+def _sharded_wct_halo_fn(mesh, H, n_dev, axis_name):
+    """ONE ppermute halo exchange per direction for the stacked signal pair:
+    local (2, N_loc) slabs -> (2, N_loc + 2H) padded slabs (global edges
+    zero-filled, matching the global zero-pad semantics)."""
 
-    def shard_fn(pair_loc, sj):
-        # pair_loc: (2, N_loc) — both signals' local slabs; ONE halo
-        # exchange per direction covers the pair.
+    def shard_fn(pair_loc):
         left = jax.lax.ppermute(
             pair_loc[:, -H:], axis_name,
             [(i, i + 1) for i in range(n_dev - 1)])
         right = jax.lax.ppermute(
             pair_loc[:, :H], axis_name,
             [(i + 1, i) for i in range(n_dev - 1)])
-        padded = jnp.concatenate([left, pair_loc, right], axis=-1)
+        return jnp.concatenate([left, pair_loc, right], axis=-1)
 
-        sp = (jax.lax.Precision.HIGH if smooth_precision == "high"
-              else None)
+    return jax.jit(shard_map(
+        shard_fn, mesh=mesh, in_specs=P(None, axis_name),
+        out_specs=P(None, axis_name),
+        check_vma=False,  # ppermute halo is deliberately position-dependent
+    ))
 
-        def body(carry, i):
-            cR, cA = carry
-            slab = jax.lax.dynamic_slice(padded, (0, i * chunk),
-                                         (2, chunk + 2 * H))
-            w1r, w1i = _planar_chunk_transform(slab[0], sj, mother, nfft,
-                                               dt, precision, "planes")
-            w2r, w2i = _planar_chunk_transform(slab[1], sj, mother, nfft,
-                                               dt, precision, "planes")
-            s_col = sj[:, None]
-            S1, S2 = smooth_planar_pair((w1r ** 2 + w1i ** 2) / s_col,
-                                        (w2r ** 2 + w2i ** 2) / s_col,
-                                        dt, dj, sj, mother, precision=sp)
-            w12r = w1r * w2r + w1i * w2i
-            w12i = w1i * w2r - w1r * w2i
-            S12r, S12i = smooth_planar_pair(w12r / s_col, w12i / s_col,
-                                            dt, dj, sj, mother, precision=sp)
-            R = (S12r ** 2 + S12i ** 2) / (S1 * S2)
-            A = jnp.arctan2(w12i, w12r)
-            cR = jax.lax.dynamic_update_slice(cR, R[:, H:H + chunk],
-                                              (0, i * chunk))
-            cA = jax.lax.dynamic_update_slice(cA, A[:, H:H + chunk],
-                                              (0, i * chunk))
-            return (cR, cA), None
 
-        z = jnp.zeros((S, N_loc), jnp.float32)
-        (cR, cA), _ = jax.lax.scan(body, (z, z), jnp.arange(n_chunks))
+@functools.lru_cache(maxsize=16)
+def _sharded_wct_step_fn(mesh, mother, dt, dj, nfft, chunk, H, precision,
+                         smooth_precision, axis_name):
+    """One donated-buffer chunk step, shard-mapped: every device runs the
+    shared chunk pipeline on chunk ``i`` of ITS slab and writes the interior
+    into its shard of the output planes in place.  Per-chunk host dispatch
+    with donation — NOT a lax.scan carrying the planes, which would
+    double-buffer them (the exact pattern that OOMed the single-device
+    full-W measurement, see _overlap_step_planar_fn)."""
+
+    def shard_fn(cR, cA, padded, sj, i):
+        L = chunk + 2 * H
+        z = jnp.zeros((), i.dtype)
+        slab = jax.lax.dynamic_slice(padded, (z, i * chunk), (2, L))
+        R, A = _wct_chunk_pipeline(slab[0], slab[1], sj, mother, nfft, dt,
+                                   dj, precision, smooth_precision)
+        cR = jax.lax.dynamic_update_slice(cR, R[:, H:H + chunk],
+                                          (z, i * chunk))
+        cA = jax.lax.dynamic_update_slice(cA, A[:, H:H + chunk],
+                                          (z, i * chunk))
         return cR, cA
 
-    fn = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(None, axis_name), P()),
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name),
+                  P(None, axis_name), P(), P()),
         out_specs=(P(None, axis_name), P(None, axis_name)),
-        check_vma=False,  # ppermute halo is deliberately position-dependent
+        check_vma=False,
     )
-    return jax.jit(fn)
+    return jax.jit(sharded, donate_argnums=(0, 1))
 
 
 def sharded_wct_overlap_planar(mesh: Mesh, y1, y2, scales, dt: float, *,
@@ -628,15 +635,19 @@ def sharded_wct_overlap_planar(mesh: Mesh, y1, y2, scales, dt: float, *,
     composed wavelet⊗smoothing halo (``2·ζ·s_max``) with its neighbors via
     one ``ppermute`` per direction (stacked pair — the global edges receive
     zeros, matching the global zero-pad), and scans its local chunks with
-    no further communication.  Outputs come back ``(S, N)`` time-sharded
-    ``P(None, axis_name)``; the full coherence map never exists on one
-    device.  Bit-matches the single-device :func:`wct_overlap_planar` on
-    every shard (pinned in ``tests/test_overlap.py``).
+    no further communication (per-chunk donated in-place output updates —
+    no scan carry double-buffering the planes).  Outputs come back
+    ``(S, N)`` time-sharded ``P(None, axis_name)``; the full coherence map
+    never exists on one device.  Matches the single-device
+    :func:`wct_overlap_planar` to f32 round-off on every shard (pinned at
+    atol 1e-5 in ``tests/test_overlap.py`` and in the multichip dryrun).
     """
     scales_j = jnp.asarray(scales, jnp.float32)
     smax = float(np.max(np.asarray(scales)))
     H = 2 * halo_samples(smax, dt, eps)
     _warn_near_nyquist(scales_j, dt, mother)
+    if chunk <= 0:
+        raise ValueError("chunk must be positive")
     y1 = jnp.asarray(y1, jnp.float32)
     y2 = jnp.asarray(y2, jnp.float32)
     if y1.shape != y2.shape or y1.ndim != 1:
@@ -657,10 +668,15 @@ def sharded_wct_overlap_planar(mesh: Mesh, y1, y2, scales, dt: float, *,
         raise ValueError(f"halo {H} exceeds local slab {N_loc}; "
                          "use fewer shards or a larger slab")
     nfft = next_pow2(chunk + 2 * H)
-    fn = _sharded_wct_overlap_fn(mesh, mother, float(dt), float(dj), nfft,
-                                 chunk, H, n_dev, N_loc // chunk, N_loc,
-                                 scales_j.shape[0], precision,
-                                 smooth_precision, axis_name)
-    pair = jax.device_put(jnp.stack([y1, y2]),
-                          NamedSharding(mesh, P(None, axis_name)))
-    return fn(pair, scales_j)
+    sh = NamedSharding(mesh, P(None, axis_name))
+    pair = jax.device_put(jnp.stack([y1, y2]), sh)
+    padded = _sharded_wct_halo_fn(mesh, H, n_dev, axis_name)(pair)
+    step = _sharded_wct_step_fn(mesh, mother, float(dt), float(dj), nfft,
+                                chunk, H, precision, smooth_precision,
+                                axis_name)
+    S = scales_j.shape[0]
+    cR = jax.device_put(jnp.zeros((S, N), jnp.float32), sh)
+    cA = jax.device_put(jnp.zeros((S, N), jnp.float32), sh)
+    for i in range(N_loc // chunk):
+        cR, cA = step(cR, cA, padded, scales_j, jnp.int32(i))
+    return cR, cA
