@@ -532,6 +532,16 @@ def wct_overlap_planar(y1, y2, scales, dt: float, *, mother: Mother,
     magnitude as the blocked-vs-global agreement bound — for a faster
     chunk); the default keeps HIGHEST.
 
+    Near-Nyquist scales (the ~1e-2 caveat above) carry truncation
+    differences that depend on WHERE the chunk boundaries fall: two runs
+    with different ``chunk`` values agree to round-off for s ≥ 4·dt but
+    may differ at the finest scales near their respective chunk edges
+    (chip-measured: bit-identical at matched ``chunk``, worst-point ~0.1
+    coherence at s = 2·dt across mismatched framings).  Match ``chunk``
+    when comparing runs — including against
+    :func:`sharded_wct_overlap_planar`, whose default is smaller (2^16, so
+    per-device slabs divide).
+
     Returns ``(WCT, aWCT)``, each ``(S, N)`` float32.
     """
     scales = jnp.asarray(scales, jnp.float32)
