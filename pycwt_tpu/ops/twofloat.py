@@ -30,6 +30,18 @@ Cost: ~log2(N) elementwise passes of ~100 flops/element — several× the f32
 fused-kernel path, which is the documented price of parity mode (VERDICT r4
 missing #1).  Throughput mode is unaffected.
 
+**Optimizer hazard (why the radix stops at 4).**  Error-free
+transformations are valid only if the compiler executes them literally.  A
+radix-8 stage was prototyped in round 5 and REJECTED: XLA's CPU pipeline
+rewrote the eight add/sub-pair butterfly producers feeding the Stockham
+interleave when (and only when) their unstacked values were otherwise dead
+— silently costing ~1e-8, i.e. one uncompensated f32 rounding (keeping the
+values live as extra outputs restored bit-exactness; optimization barriers
+did NOT).  The shipped radix-4/2 ladder is verified exact under jit on both
+CPU and the real chip at every tested size, and ``tests/test_twofloat.py``
+pins ~1e-13 FFT agreement so any future compiler regression of this kind
+fails loudly instead of shipping as silent precision loss.
+
 Parity anchors: reference f64 numerics ``/root/reference/pycwt/wavelet.py:
 91-106`` (cwt), ``mothers.py:61-104`` (smooth), measured on the real chip by
 ``tools/tpu_parity_report.py --engine=twofloat`` and pinned by
