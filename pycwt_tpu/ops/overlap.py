@@ -71,6 +71,7 @@ __all__ = [
     "sharded_cwt_overlap_save",
     "wct_overlap_planar",
     "sharded_wct_overlap_planar",
+    "xwt_overlap_planar",
 ]
 
 
@@ -690,3 +691,76 @@ def sharded_wct_overlap_planar(mesh: Mesh, y1, y2, scales, dt: float, *,
     for i in range(N_loc // chunk):
         cR, cA = step(cR, cA, padded, scales_j, jnp.int32(i))
     return cR, cA
+
+
+@functools.lru_cache(maxsize=32)
+def _xwt_overlap_step_fn(mother, dt, nfft, chunk, H, precision):
+    """One donated-buffer chunk of the blocked CROSS-WAVELET pipeline: two
+    planar chunk CWTs → planar cross spectrum → |W12| and phase interiors
+    written in place.  No smoothing — the XWT needs only the wavelet halo."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(cM, cA, p1, p2, scales, i):
+        L = chunk + 2 * H
+        slab1 = jax.lax.dynamic_slice(p1, (i * chunk,), (L,))
+        slab2 = jax.lax.dynamic_slice(p2, (i * chunk,), (L,))
+        w1r, w1i = _planar_chunk_transform(slab1, scales, mother, nfft, dt,
+                                           precision, "planes")
+        w2r, w2i = _planar_chunk_transform(slab2, scales, mother, nfft, dt,
+                                           precision, "planes")
+        w12r = w1r * w2r + w1i * w2i          # W1 · conj(W2), planar
+        w12i = w1i * w2r - w1r * w2i
+        M = jnp.sqrt(w12r ** 2 + w12i ** 2)
+        A = jnp.arctan2(w12i, w12r)
+        z = jnp.zeros((), i.dtype)
+        cM = jax.lax.dynamic_update_slice(cM, M[:, H:H + chunk],
+                                          (z, i * chunk))
+        cA = jax.lax.dynamic_update_slice(cA, A[:, H:H + chunk],
+                                          (z, i * chunk))
+        return cM, cA
+
+    return step
+
+
+def xwt_overlap_planar(y1, y2, scales, dt: float, *, mother: Mother,
+                       chunk: int = 1 << 18, eps: float = 1e-7,
+                       precision: str = "high", normalize: bool = True):
+    """Cross-wavelet transform of a signal pair LONGER THAN HBM's global
+    intermediates — overlap-save through the XWT (reference
+    ``wavelet.py:385-399`` holds everything in one array; it cannot express
+    this at any size beyond memory).
+
+    Cheaper than :func:`wct_overlap_planar` (no smoothing stage, wavelet
+    halo only).  Signals stay device-resident end-to-end; outputs are the
+    planar-safe pair ``(|W12|, phase)``, each ``(S, N)`` float32, with the
+    same interior/near-Nyquist contract as :func:`cwt_overlap_save_planar`.
+    The AR(1) theoretical significance of the XWT is a grid-level curve
+    (``coherence.xwt``'s ``sqrt(Pk1·Pk2)`` construction) — compute it from
+    the series' fitted coefficients with :func:`pycwt_tpu.stats.ar1` /
+    ``ar1_spectrum``; it does not depend on this surface.
+    """
+    scales = jnp.asarray(scales, jnp.float32)
+    smax = float(np.max(np.asarray(scales)))
+    H = halo_samples(smax, dt, eps)
+    _warn_near_nyquist(scales, dt, mother)
+    if chunk <= 0:
+        raise ValueError("chunk must be positive")
+    y1 = jnp.asarray(y1, jnp.float32)
+    y2 = jnp.asarray(y2, jnp.float32)
+    if y1.shape != y2.shape or y1.ndim != 1:
+        raise ValueError(
+            f"xwt_overlap_planar expects matching 1-D signals, got "
+            f"{y1.shape} vs {y2.shape}")
+    if normalize:
+        y1 = (y1 - y1.mean()) / y1.std()
+        y2 = (y2 - y2.mean()) / y2.std()
+    p1, N, n_chunks = _pad_for_chunks(y1, chunk, H)
+    p2, _, _ = _pad_for_chunks(y2, chunk, H)
+    nfft = next_pow2(chunk + 2 * H)
+    step = _xwt_overlap_step_fn(mother, float(dt), nfft, chunk, H, precision)
+    S = scales.shape[0]
+    cM = jnp.zeros((S, n_chunks * chunk), jnp.float32)
+    cA = jnp.zeros((S, n_chunks * chunk), jnp.float32)
+    for i in range(n_chunks):
+        cM, cA = step(cM, cA, p1, p2, scales, jnp.int32(i))
+    return cM[:, :N], cA[:, :N]

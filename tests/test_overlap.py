@@ -291,3 +291,34 @@ def test_sharded_wct_overlap_validates():
         sharded_wct_overlap_planar(mesh, np.zeros(1001), np.zeros(1001),
                                    jnp.asarray([8.0]), 1.0,
                                    mother=wt.Morlet(6), dj=0.5)
+
+
+def test_xwt_overlap_planar_matches_global():
+    """Blocked long-signal XWT: interiors equal the global planar cross
+    spectrum to f32 round-off for s >= 4dt."""
+    from pycwt_tpu.ops.overlap import halo_samples, xwt_overlap_planar
+
+    rng = np.random.default_rng(23)
+    N = 4096
+    y1 = rng.standard_normal(N)
+    y2 = 0.5 * y1 + rng.standard_normal(N)
+    scales = jnp.asarray([8.0, 16.0, 32.0], jnp.float32)
+    M, A = xwt_overlap_planar(y1, y2, scales, 1.0, mother=wt.Morlet(6),
+                              chunk=1024)
+    y1n = (y1 - y1.mean()) / y1.std()
+    y2n = (y2 - y2.mean()) / y2.std()
+    W1, _ = cwt_batch(jnp.asarray(y1n, jnp.float32)[None], scales, 1.0,
+                      mother=wt.Morlet(6), nfft=N)
+    W2, _ = cwt_batch(jnp.asarray(y2n, jnp.float32)[None], scales, 1.0,
+                      mother=wt.Morlet(6), nfft=N)
+    W12 = np.asarray(W1[0]) * np.conj(np.asarray(W2[0]))
+    H = halo_samples(32.0, 1.0)
+    sl = slice(H, N - H)
+    ref = np.abs(W12)
+    scale = ref.max()
+    np.testing.assert_allclose(np.asarray(M)[:, sl], ref[:, sl],
+                               rtol=0, atol=3e-5 * scale)
+    m = ref[:, sl] > 1e-3 * scale
+    dphi = np.angle(np.exp(1j * (np.asarray(A)[:, sl]
+                                 - np.angle(W12)[:, sl])))
+    assert np.abs(dphi[m]).max() < 2e-3
