@@ -63,3 +63,35 @@ def test_twofloat_parity_on_chip():
     assert row["cwt_power_nino3"] <= 1e-6, row
     assert row["xwt_jao_jbaltic"] <= 1e-6, row
     assert row["wct_jao_jbaltic"] <= 1e-6, row
+
+
+@requires_chip
+@pytest.mark.tpu
+def test_long_signal_surfaces_on_chip():
+    """The round-5 long-signal claims stay real on the chip: the planar
+    overlap-save full-W transform and the streamed power run at N=2^20
+    (a fast proxy for the 2^22-2^24 BASELINE rows) and agree with each
+    other on the global spectrum."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "tpu_bench_long.py"),
+         "--child=cwt_overlap_save_planar:20"],
+        capture_output=True, text=True, timeout=580,
+        env={k: v for k, v in os.environ.items()
+             if k != "PYCWT_TPU_PLATFORM"}, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-500:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "error" not in row, row
+    # Generous floor: measured 8.5e8-2.5e9 across rounds/windows; a 10x
+    # regression (or an OOM/dispatch bug) must fail.
+    assert row["sample_scales_per_s"] > 2e8, row
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "tpu_bench_long.py"),
+         "--child=streamed_global_power_planar:20"],
+        capture_output=True, text=True, timeout=580,
+        env={k: v for k, v in os.environ.items()
+             if k != "PYCWT_TPU_PLATFORM"}, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-500:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "error" not in row, row
+    assert row["sample_scales_per_s"] > 2e8, row
