@@ -33,6 +33,7 @@ __all__ = [
     "drop_reference_nan_rows",
     "cwt_batch",
     "icwt_batch",
+    "icwt_planar",
     "coi_bartlett",
 ]
 
@@ -203,3 +204,21 @@ def icwt_batch(W: jax.Array, scales: jax.Array, dt: float, dj: float, *, mother:
         psi0 = psi0.real
     norm = dj * jnp.sqrt(jnp.asarray(dt, dtype=W.real.dtype)) / (mother.cdelta * psi0)
     return norm * jnp.sum(W.real / jnp.sqrt(scales)[..., :, None], axis=-2)
+
+
+def icwt_planar(wr: jax.Array, scales: jax.Array, dt: float, dj: float, *,
+                mother: Mother):
+    """:func:`icwt_batch` on the PLANAR real part alone — TC98 eq. 11 only
+    reads Re(W), so reconstruction from the complex-free pipelines (the
+    blocked long-signal surfaces, the fused planar kernels) never needs the
+    imaginary plane or a complex dtype.  ``wr`` is ``(..., S, n)``; returns
+    ``(..., n)`` on device — at long N the host round-trip of a complex W
+    would dwarf this one reduction (reference ``wavelet.py:127-171``)."""
+    wr = jnp.asarray(wr)
+    scales = jnp.asarray(scales, dtype=wr.dtype)
+    psi0 = mother.psi0()
+    if isinstance(psi0, complex) and psi0.imag == 0:
+        psi0 = psi0.real
+    norm = dj * jnp.sqrt(jnp.asarray(dt, dtype=wr.dtype)) / (
+        mother.cdelta * psi0)
+    return norm * jnp.sum(wr / jnp.sqrt(scales)[..., :, None], axis=-2)
